@@ -1,0 +1,256 @@
+"""Typed configuration for the TPU-native SR-LIVO engine.
+
+Parameter names intentionally mirror the reference YAML profiles
+(/root/reference/config/r3live.yaml, ntu.yaml) and option classes
+(/root/reference/include/parameters.h:8-109) so runs are directly
+comparable.  On top of those, `ShapeOptions` fixes the static tensor
+shapes that XLA needs (padded sweep size, map capacity, ...), which
+replace the reference's dynamically-sized std::vector / robin_map
+structures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+# Motion-compensation / init modes (utility.h:82-92)
+MOTION_COMP_NONE = -1
+MOTION_COMP_IMU = 0
+MOTION_COMP_CONSTANT_VELOCITY = 1
+INIT_IMU = 0
+INIT_CONSTANT_VELOCITY = 1
+
+# LiDAR types (cloudProcessing.h:25)
+LIDAR_LIVOX = 1
+LIDAR_VELODYNE = 2
+LIDAR_OUSTER = 3
+LIDAR_ROBOSENSE = 4
+
+
+@dataclass
+class IcpOptions:
+    """Mirrors icpOptions (parameters.h:8-56)."""
+    threshold_voxel_occupancy: int = 1
+    init_num_frames: int = 20
+    size_voxel_map: float = 1.0
+    num_iters_icp: int = 5
+    min_number_neighbors: int = 20
+    voxel_neighborhood: int = 1
+    power_planarity: float = 2.0
+    estimate_normal_from_neighborhood: bool = True
+    max_number_neighbors: int = 20
+    max_dist_to_plane_icp: float = 0.3
+    threshold_orientation_norm: float = 0.0001  # degrees
+    threshold_translation_norm: float = 0.001   # meters
+    point_to_plane_with_distortion: bool = True
+    max_num_residuals: int = -1
+    min_num_residuals: int = 100
+    num_closest_neighbors: int = 1
+    weight_alpha: float = 0.9
+    weight_neighborhood: float = 0.1
+    debug_print: bool = False
+
+
+@dataclass
+class OdometryOptions:
+    """Mirrors odometryOptions (parameters.h:58-96)."""
+    init_voxel_size: float = 0.2
+    init_sample_voxel_size: float = 1.0
+    init_num_frames: int = 20
+    num_for_initialization: int = 10
+    voxel_size: float = 0.5
+    sample_voxel_size: float = 1.5
+    max_distance: float = 100.0
+    max_num_points_in_voxel: int = 20
+    min_distance_points: float = 0.1
+    distance_error_threshold: float = 5.0
+    motion_compensation: int = MOTION_COMP_CONSTANT_VELOCITY
+    initialization: int = INIT_CONSTANT_VELOCITY
+    optimize_options: IcpOptions = field(default_factory=IcpOptions)
+
+
+@dataclass
+class MapOptions:
+    """Mirrors mapOptions (parameters.h:98-109) — the colored visual map."""
+    size_voxel_map: float = 0.1
+    max_num_points_in_voxel: int = 20
+    min_distance_points: float = 0.01
+    add_point_step: int = 4
+    pub_point_minimum_views: int = 3
+
+
+@dataclass
+class ImuOptions:
+    """IMU noise densities (config/*.yaml imu_parameter)."""
+    acc_cov: float = 0.1
+    gyr_cov: float = 0.1
+    b_acc_cov: float = 0.0001
+    b_gyr_cov: float = 0.0001
+    time_diff_enable: bool = False
+
+
+@dataclass
+class LidarOptions:
+    """LiDAR driver options (config/*.yaml lidar_parameter)."""
+    lidar_type: int = LIDAR_LIVOX
+    n_scans: int = 6
+    scan_rate: int = 10          # Hz — nominal sweep rate
+    time_unit: int = 3           # 0 s, 1 ms, 2 us, 3 ns
+    blind: float = 0.1           # blind radius [m]
+    fov_degree: float = 180.0
+    det_range: float = 100.0
+    point_filter_num: int = 4    # point decimation
+
+
+@dataclass
+class CameraOptions:
+    """Camera intrinsics/distortion (config/*.yaml camera_parameter)."""
+    image_width: int = 1280
+    image_height: int = 1024
+    camera_intrinsic: List[float] = field(
+        default_factory=lambda: [863.4241, 0.0, 640.6808,
+                                 0.0, 863.4171, 518.3392,
+                                 0.0, 0.0, 1.0])
+    camera_dist_coeffs: List[float] = field(
+        default_factory=lambda: [0.0, 0.0, 0.0, 0.0, 0.0])
+    # Processing scale applied to the raw image before tracking
+    # (imageProcessing.h m_image_downsample_ratio equivalent).
+    image_scale: float = 0.5
+    max_tracked_points: int = 300
+    track_windows_size: int = 40
+
+
+@dataclass
+class ExtrinsicOptions:
+    """Sensor extrinsics (config/*.yaml extrinsic_parameter), row-major."""
+    extrinsic_t_imu_lidar: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    extrinsic_R_imu_lidar: List[float] = field(
+        default_factory=lambda: [1, 0, 0, 0, 1, 0, 0, 0, 1])
+    extrinsic_t_imu_camera: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    extrinsic_R_imu_camera: List[float] = field(
+        default_factory=lambda: [1, 0, 0, 0, 1, 0, 0, 0, 1])
+
+    def R_imu_lidar(self) -> np.ndarray:
+        return np.asarray(self.extrinsic_R_imu_lidar, np.float64).reshape(3, 3)
+
+    def t_imu_lidar(self) -> np.ndarray:
+        return np.asarray(self.extrinsic_t_imu_lidar, np.float64)
+
+    def R_imu_camera(self) -> np.ndarray:
+        return np.asarray(self.extrinsic_R_imu_camera, np.float64).reshape(3, 3)
+
+    def t_imu_camera(self) -> np.ndarray:
+        return np.asarray(self.extrinsic_t_imu_camera, np.float64)
+
+
+@dataclass
+class ShapeOptions:
+    """Static tensor shapes for the XLA-compiled pipeline.
+
+    These replace the reference's dynamic containers: every sweep is
+    padded/masked to fixed sizes so the whole per-sweep step compiles to
+    one static program.  Values are per-sweep upper bounds; points
+    beyond them are dropped deterministically (densest-first is not
+    needed because upstream decimation already bounds the stream).
+    """
+    max_sweep_points: int = 32768       # raw points entering a sweep
+    max_frame_points: int = 8192        # after voxel-grid subsampling
+    max_keypoints: int = 1024           # grid-sampled ICP keypoints
+    max_imu_samples: int = 64           # IMU samples per sweep (+1 interp)
+    # Geometry voxel map (1.0 m voxels)
+    map_capacity: int = 1 << 18         # hash slots
+    map_voxel_points: int = 20          # == max_num_points_in_voxel
+    map_max_probe: int = 16             # linear-probe bound
+    # Color map registry (0.1 m voxels)
+    color_capacity: int = 1 << 19
+    color_voxel_points: int = 20
+    color_registry: int = 1 << 20       # global rgb point registry bound
+    max_render_points: int = 1 << 15    # points rendered per image
+    # Vision
+    lk_pyramid_levels: int = 4
+    lk_window: int = 21
+    lk_iterations: int = 10
+
+
+@dataclass
+class LivoConfig:
+    """Top-level config = union of all reference YAML sections."""
+    odometry_options: OdometryOptions = field(default_factory=OdometryOptions)
+    map_options: MapOptions = field(default_factory=MapOptions)
+    imu_options: ImuOptions = field(default_factory=ImuOptions)
+    lidar_options: LidarOptions = field(default_factory=LidarOptions)
+    camera_options: CameraOptions = field(default_factory=CameraOptions)
+    extrinsics: ExtrinsicOptions = field(default_factory=ExtrinsicOptions)
+    shapes: ShapeOptions = field(default_factory=ShapeOptions)
+    gravity_acc: List[float] = field(default_factory=lambda: [0.0, 0.0, 9.81])
+    output_path: str = "output"
+    debug_output: bool = False
+    laser_point_cov: float = 0.001      # lioOptimization.cpp:364
+
+    @property
+    def sweep_interval(self) -> float:
+        return 1.0 / float(self.lidar_options.scan_rate)
+
+    @property
+    def icp(self) -> IcpOptions:
+        return self.odometry_options.optimize_options
+
+
+def _apply(dc, mapping: dict, aliases: Optional[dict] = None):
+    aliases = aliases or {}
+    names = {f.name for f in dataclasses.fields(dc)}
+    for k, v in mapping.items():
+        k = aliases.get(k, k)
+        if k in names:
+            setattr(dc, k, v)
+    return dc
+
+
+_MOTION_COMP = {"NONE": MOTION_COMP_NONE, "IMU": MOTION_COMP_IMU,
+                "CONSTANT_VELOCITY": MOTION_COMP_CONSTANT_VELOCITY}
+_INIT = {"INIT_IMU": INIT_IMU, "INIT_CONSTANT_VELOCITY": INIT_CONSTANT_VELOCITY,
+         "INIT_NONE": INIT_CONSTANT_VELOCITY}
+
+
+def load_config(path_or_dict) -> LivoConfig:
+    """Build a LivoConfig from a reference-format YAML file or dict.
+
+    Accepts the exact section/key names of /root/reference/config/*.yaml
+    (readParameters, lioOptimization.cpp:252-350).
+    """
+    if isinstance(path_or_dict, dict):
+        raw = path_or_dict
+    else:
+        import yaml
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f)
+
+    cfg = LivoConfig()
+    common = raw.get("common", {})
+    if "gravity_acc" in common:
+        cfg.gravity_acc = list(common["gravity_acc"])
+
+    lp = dict(raw.get("lidar_parameter", {}))
+    lp.update({k: v for k, v in common.items() if k == "point_filter_num"})
+    _apply(cfg.lidar_options, lp,
+           aliases={"N_SCANS": "n_scans", "SCAN_RATE": "scan_rate"})
+
+    _apply(cfg.imu_options, raw.get("imu_parameter", {}))
+    _apply(cfg.camera_options, raw.get("camera_parameter", {}))
+    _apply(cfg.extrinsics, raw.get("extrinsic_parameter", {}))
+
+    odo = dict(raw.get("odometry_options", {}))
+    if isinstance(odo.get("motion_compensation"), str):
+        odo["motion_compensation"] = _MOTION_COMP[odo["motion_compensation"]]
+    if isinstance(odo.get("initialization"), str):
+        odo["initialization"] = _INIT[odo["initialization"]]
+    _apply(cfg.odometry_options, odo)
+
+    _apply(cfg.odometry_options.optimize_options, raw.get("icp_options", {}),
+           aliases={"max_dist_to_plane_ct_icp": "max_dist_to_plane_icp"})
+    _apply(cfg.map_options, raw.get("map_options", {}))
+    return cfg

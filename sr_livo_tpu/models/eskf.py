@@ -1,0 +1,233 @@
+"""Error-State Kalman Filter (17-dim) for the LIO backbone.
+
+TPU-native re-derivation of the reference eskfEstimator
+(/root/reference/src/eskfEstimator.cpp).  Error state layout (indices):
+
+    [0:3]   dp      position
+    [3:6]   dtheta  SO(3) attitude (right perturbation q <- q*exp(dtheta))
+    [6:9]   dv      velocity
+    [9:12]  dba     accel bias
+    [12:15] dbg     gyro bias
+    [15:17] dg      gravity on S2 (2-dim tangent)
+
+The nominal state is a pytree of f32 arrays; per-sweep IMU propagation is a
+`lax.scan` over padded (dt, acc, gyr, valid) sample arrays with the exact
+midpoint integration + F_x/F_w covariance propagation of
+eskfEstimator::predict (eskfEstimator.cpp:166-217).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sr_livo_tpu.utils import lie
+
+# IMU static-initialization gates (utility.h:28-31)
+MIN_INI_COUNT = 10
+MIN_INI_TIME = 3.0
+MAX_GYR_VAR = 0.5
+MAX_ACC_VAR = 0.6
+
+
+class EskfState(NamedTuple):
+    """Nominal state + covariance + last IMU sample (pytree)."""
+    p: jnp.ndarray        # (3,)
+    q: jnp.ndarray        # (4,) wxyz
+    v: jnp.ndarray        # (3,)
+    ba: jnp.ndarray       # (3,)
+    bg: jnp.ndarray       # (3,)
+    g: jnp.ndarray        # (3,)
+    cov: jnp.ndarray      # (17, 17)
+    acc_0: jnp.ndarray    # (3,) previous accel sample
+    gyr_0: jnp.ndarray    # (3,) previous gyro sample
+
+
+class ImuStates(NamedTuple):
+    """Per-sample propagated IMU trajectory over one sweep (all (S, ...))."""
+    t: jnp.ndarray        # (S,) relative time from sweep start
+    un_acc: jnp.ndarray   # (S, 3) world-frame net acceleration
+    un_gyr: jnp.ndarray   # (S, 3) bias-corrected body rate
+    p: jnp.ndarray        # (S, 3)
+    q: jnp.ndarray        # (S, 4)
+    v: jnp.ndarray        # (S, 3)
+    valid: jnp.ndarray    # (S,) bool
+
+
+def init_state(gravity=(0.0, 0.0, 9.81), dtype=jnp.float32) -> EskfState:
+    return EskfState(
+        p=jnp.zeros(3, dtype),
+        q=lie.quat_identity(dtype=dtype),
+        v=jnp.zeros(3, dtype),
+        ba=jnp.zeros(3, dtype),
+        bg=jnp.zeros(3, dtype),
+        g=jnp.asarray(gravity, dtype),
+        cov=jnp.eye(17, dtype=dtype),
+        acc_0=jnp.asarray(gravity, dtype),
+        gyr_0=jnp.zeros(3, dtype),
+    )
+
+
+def noise_diag(acc_cov, gyr_cov, b_acc_cov, b_gyr_cov, dtype=jnp.float32):
+    """12-dim process-noise diagonal [na(3), ng(3), nba(3), nbg(3)]."""
+    return jnp.concatenate([
+        jnp.full(3, acc_cov, dtype), jnp.full(3, gyr_cov, dtype),
+        jnp.full(3, b_acc_cov, dtype), jnp.full(3, b_gyr_cov, dtype)])
+
+
+def predict(state: EskfState, noise: jnp.ndarray, dt, acc_1, gyr_1) -> EskfState:
+    """One midpoint-integration step (eskfEstimator.cpp:166-217)."""
+    dtype = state.p.dtype
+    dt = jnp.asarray(dt, dtype)
+    acc_1 = jnp.asarray(acc_1, dtype)
+    gyr_1 = jnp.asarray(gyr_1, dtype)
+
+    un_gyr = 0.5 * (state.gyr_0 + gyr_1) - state.bg
+    un_acc = 0.5 * (state.acc_0 + acc_1) - state.ba
+
+    r_before = lie.quat_to_rot(state.q)
+    q_new = lie.quat_normalize(lie.quat_mul(state.q, lie.exp_so3_quat(un_gyr * dt)))
+    p_new = state.p + state.v * dt
+    v_new = state.v + r_before @ un_acc * dt - state.g * dt
+
+    gyr_x = lie.skew(un_gyr)
+    acc_x = lie.skew(un_acc)
+    b_x = lie.s2_bx(state.g)
+    g_x = lie.skew(state.g)
+    g_norm_sq = jnp.maximum(jnp.sum(state.g * state.g), 1e-12)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    f_x = jnp.zeros((17, 17), dtype)
+    f_x = f_x.at[0:3, 0:3].set(eye3)
+    f_x = f_x.at[0:3, 6:9].set(eye3 * dt)
+    f_x = f_x.at[3:6, 3:6].set(eye3 - gyr_x * dt)
+    f_x = f_x.at[3:6, 12:15].set(-eye3 * dt)
+    f_x = f_x.at[6:9, 3:6].set(-r_before @ acc_x * dt)
+    f_x = f_x.at[6:9, 6:9].set(eye3)
+    f_x = f_x.at[6:9, 9:12].set(-r_before * dt)
+    f_x = f_x.at[6:9, 15:17].set(g_x @ b_x * dt)
+    f_x = f_x.at[9:12, 9:12].set(eye3)
+    f_x = f_x.at[12:15, 12:15].set(eye3)
+    f_x = f_x.at[15:17, 15:17].set(-(b_x.T @ g_x @ g_x @ b_x) / g_norm_sq)
+
+    f_w = jnp.zeros((17, 12), dtype)
+    f_w = f_w.at[6:9, 0:3].set(-r_before * dt)
+    f_w = f_w.at[3:6, 3:6].set(-eye3 * dt)
+    f_w = f_w.at[9:12, 6:9].set(-eye3 * dt)
+    f_w = f_w.at[12:15, 9:12].set(-eye3 * dt)
+
+    cov_new = f_x @ state.cov @ f_x.T + (f_w * noise[None, :]) @ f_w.T
+
+    return state._replace(p=p_new, q=q_new, v=v_new, cov=cov_new,
+                          acc_0=acc_1, gyr_0=gyr_1)
+
+
+def predict_sweep(state: EskfState, noise: jnp.ndarray,
+                  t_rel: jnp.ndarray, dts: jnp.ndarray, accs: jnp.ndarray,
+                  gyrs: jnp.ndarray, valid: jnp.ndarray
+                  ) -> Tuple[EskfState, ImuStates]:
+    """Propagate through a padded per-sweep IMU batch via `lax.scan`.
+
+    Mirrors run()'s per-sweep IMU loop (lioOptimization.cpp:1489-1569): each
+    valid sample advances the filter; the recorded `ImuStates` trajectory
+    feeds motion undistortion.  Invalid (padding) samples are passed through
+    unchanged and their recorded slot repeats the previous state.
+    """
+    def step(s: EskfState, x):
+        dt, acc, gyr, ok = x
+        s_next = predict(s, noise, dt, acc, gyr)
+        s_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), s_next, s)
+        out = (s_next.p, s_next.q, s_next.v,
+               0.5 * (s.gyr_0 + gyr) - s.bg,
+               lie.quat_to_rot(s.q) @ (0.5 * (s.acc_0 + acc) - s.ba) - s.g)
+        return s_next, out
+
+    final, (ps, qs, vs, un_gyrs, un_accs) = jax.lax.scan(
+        step, state, (dts, accs, gyrs, valid))
+    imu_states = ImuStates(t=t_rel, un_acc=un_accs, un_gyr=un_gyrs,
+                           p=ps, q=qs, v=vs, valid=valid)
+    return final, imu_states
+
+
+def observe(state: EskfState, d_x: jnp.ndarray) -> EskfState:
+    """Inject a 17-dim error-state correction (eskfEstimator.cpp:219-230)."""
+    p = state.p + d_x[0:3]
+    q = lie.quat_normalize(lie.quat_mul(state.q, lie.exp_so3_quat(d_x[3:6])))
+    v = state.v + d_x[6:9]
+    ba = state.ba + d_x[9:12]
+    bg = state.bg + d_x[12:15]
+    b_x = lie.s2_bx(state.g)
+    so3_dg = b_x @ d_x[15:17]
+    g = lie.exp_so3(so3_dg) @ state.g
+    return state._replace(p=p, q=q, v=v, ba=ba, bg=bg, g=g)
+
+
+class ImuInitializer:
+    """Host-side static IMU initialization (eskfEstimator.cpp:43-118).
+
+    Accumulates running mean/variance of (gyr, acc) while stationary; once
+    >= MIN_INI_COUNT samples spanning >= MIN_INI_TIME seconds arrive with
+    acceptable noise levels, produces gyro bias + gravity direction and the
+    shrunk initial covariance.
+    """
+
+    def __init__(self, g_norm: float = 9.81):
+        self.g_norm = float(g_norm)
+        self.n = 1
+        self.first_time = None
+        self.last_time = None
+        self.mean_gyr = np.zeros(3)
+        self.mean_acc = np.array([0.0, 0.0, 9.81])
+        self.var_gyr = np.zeros(3)
+        self.var_acc = np.zeros(3)
+        self.done = False
+
+    def push(self, t: float, acc: np.ndarray, gyr: np.ndarray):
+        acc = np.asarray(acc, np.float64)
+        gyr = np.asarray(gyr, np.float64)
+        if self.first_time is None:
+            self.first_time = t
+            self.mean_gyr = gyr.copy()
+            self.mean_acc = acc.copy()
+            self.var_gyr = np.zeros(3)
+            self.var_acc = np.zeros(3)
+            self.n = 1
+        self.last_time = t
+        n = self.n
+        self.mean_gyr += (gyr - self.mean_gyr) / n
+        self.mean_acc += (acc - self.mean_acc) / n
+        self.var_gyr = (self.var_gyr * (n - 1.0) / n
+                        + (gyr - self.mean_gyr) ** 2 * (n - 1.0) / (n * n))
+        self.var_acc = (self.var_acc * (n - 1.0) / n
+                        + (acc - self.mean_acc) ** 2 * (n - 1.0) / (n * n))
+        self.n += 1
+
+    def ready(self) -> bool:
+        if self.first_time is None or self.n <= MIN_INI_COUNT:
+            return False
+        if (self.last_time - self.first_time) <= MIN_INI_TIME:
+            return False
+        acc_var = self.var_acc * (self.g_norm / np.linalg.norm(self.mean_acc)) ** 2
+        if np.linalg.norm(self.var_gyr) > MAX_GYR_VAR:
+            return False
+        if np.linalg.norm(acc_var) > MAX_ACC_VAR:
+            return False
+        return True
+
+    def build_state(self, state: EskfState) -> EskfState:
+        """Apply bias/gravity estimates + covariance shrink to `state`."""
+        init_bg = self.mean_gyr
+        init_g = self.mean_acc / np.linalg.norm(self.mean_acc) * self.g_norm
+        cov = np.eye(17, dtype=np.float32)
+        cov[9:12, 9:12] *= 0.001
+        cov[12:15, 12:15] *= 0.0001
+        cov[15:17, 15:17] *= 0.00001
+        dtype = state.p.dtype
+        return state._replace(
+            bg=jnp.asarray(init_bg, dtype),
+            g=jnp.asarray(init_g, dtype),
+            cov=jnp.asarray(cov, dtype))
