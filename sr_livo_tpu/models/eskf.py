@@ -138,12 +138,16 @@ def predict_sweep(state: EskfState, noise: jnp.ndarray,
     """
     def step(s: EskfState, x):
         dt, acc, gyr, ok = x
+        # Recorded un_acc/un_gyr mirror run()'s imuState capture
+        # (lioOptimization.cpp:1525-1526): interval-start rotation, no
+        # gravity subtraction (the <0.5 mm undistortion effect of g over one
+        # IMU interval is ignored by the reference too).
+        un_gyr = 0.5 * (s.gyr_0 + gyr) - s.bg
+        un_acc = lie.quat_to_rot(s.q) @ (0.5 * (s.acc_0 + acc) - s.ba)
         s_next = predict(s, noise, dt, acc, gyr)
         s_next = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b), s_next, s)
-        out = (s_next.p, s_next.q, s_next.v,
-               0.5 * (s.gyr_0 + gyr) - s.bg,
-               lie.quat_to_rot(s.q) @ (0.5 * (s.acc_0 + acc) - s.ba) - s.g)
+        out = (s_next.p, s_next.q, s_next.v, un_gyr, un_acc)
         return s_next, out
 
     final, (ps, qs, vs, un_gyrs, un_accs) = jax.lax.scan(

@@ -1,0 +1,126 @@
+"""IEKF LIO update tests: pose recovery on a synthetic planar world."""
+import jax.numpy as jnp
+import numpy as np
+
+from sr_livo_tpu.models import eskf, lio
+from sr_livo_tpu.ops import voxel_map as vm
+from sr_livo_tpu.utils import lie
+
+RNG = np.random.RandomState(11)
+
+ICP_KW = dict(
+    size_voxel_map=1.0,
+    nb_voxels_visited=1,
+    max_number_neighbors=20,
+    min_number_neighbors=20,
+    power_planarity=2.0,
+    max_dist_to_plane=0.3,
+    weight_alpha=0.9,
+    weight_neighborhood=0.1,
+    max_num_residuals=600,
+    max_probe=16,
+    max_iters=8,
+    threshold_translation_norm=1e-3,
+    threshold_orientation_norm=1e-2,
+    laser_point_cov=0.001,
+)
+
+
+def _world_points(n_per_plane=4000):
+    """Three orthogonal planes: floor z=0, walls x=6 and y=6."""
+    u = RNG.uniform(-6, 6, (n_per_plane, 2))
+    floor = np.c_[u[:, 0], u[:, 1], np.zeros(n_per_plane)]
+    wallx = np.c_[np.full(n_per_plane, 6.0), u[:, 0], u[:, 1] * 0.5 + 3]
+    wally = np.c_[u[:, 0], np.full(n_per_plane, 6.0), u[:, 1] * 0.5 + 3]
+    return np.concatenate([floor, wallx, wally]).astype(np.float32)
+
+
+def _build_map(pts):
+    m = vm.make_map(1 << 14, 20)
+    n = pts.shape[0]
+    for i in range(0, n, 4096):
+        chunk = pts[i:i + 4096]
+        m, _ = vm.insert(m, jnp.asarray(chunk),
+                         jnp.ones(chunk.shape[0], bool), 1.0, 0.05, 16)
+    return m
+
+
+def _keypoints_from_world(world_pts, n=400):
+    sel = RNG.choice(world_pts.shape[0], n, replace=False)
+    return world_pts[sel]
+
+
+def test_iekf_recovers_perturbed_pose():
+    world = _world_points()
+    m = _build_map(world)
+    keypts = _keypoints_from_world(world)  # true pose = identity
+
+    # Start from a perturbed state: 20 cm offset, ~2 deg attitude error.
+    d_p = np.array([0.15, -0.12, 0.08], np.float32)
+    d_w = np.array([0.02, -0.03, 0.02], np.float32)
+    st = eskf.init_state()._replace(
+        p=jnp.asarray(d_p),
+        q=lie.exp_so3_quat(jnp.asarray(d_w)))
+
+    out, summary = lio.iekf_update(
+        st, m, jnp.asarray(keypts), jnp.ones(keypts.shape[0], bool),
+        jnp.zeros(3, jnp.float32), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), jnp.int32(1), **ICP_KW)
+
+    assert bool(summary.success)
+    assert int(summary.num_residuals) > 100
+    assert float(jnp.linalg.norm(out.p)) < 0.01, np.asarray(out.p)
+    ang = float(lie.angular_distance_deg(lie.quat_to_so3(out.q)))
+    assert ang < 0.2, ang
+    # covariance was updated (shrunk in the measured subspace)
+    assert float(out.cov[0, 0]) < float(st.cov[0, 0])
+
+
+def test_iekf_respects_extrinsics():
+    world = _world_points()
+    m = _build_map(world)
+    r_il = np.asarray(lie.exp_so3(jnp.asarray([0.05, -0.1, 0.2], jnp.float32)))
+    t_il = np.array([0.1, 0.05, -0.08], np.float32)
+    # keypoints given in the LiDAR frame for identity IMU pose
+    keyw = _keypoints_from_world(world)
+    keypts = (keyw - t_il) @ r_il  # R_il^T (w - t_il)
+
+    st = eskf.init_state()._replace(
+        p=jnp.asarray([0.1, 0.1, -0.05], jnp.float32),
+        q=lie.exp_so3_quat(jnp.asarray([0.015, 0.02, -0.01], jnp.float32)))
+    out, summary = lio.iekf_update(
+        st, m, jnp.asarray(keypts), jnp.ones(keypts.shape[0], bool),
+        jnp.zeros(3, jnp.float32), jnp.asarray(r_il), jnp.asarray(t_il),
+        jnp.int32(1), **ICP_KW)
+    assert bool(summary.success)
+    assert float(jnp.linalg.norm(out.p)) < 0.01
+    assert float(lie.angular_distance_deg(lie.quat_to_so3(out.q))) < 0.2
+
+
+def test_iekf_fails_on_empty_map():
+    m = vm.make_map(1 << 10, 20)
+    keypts = RNG.randn(100, 3).astype(np.float32) * 5
+    st = eskf.init_state()
+    out, summary = lio.iekf_update(
+        st, m, jnp.asarray(keypts), jnp.ones(100, bool),
+        jnp.zeros(3, jnp.float32), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), jnp.int32(1), **ICP_KW)
+    assert not bool(summary.success)
+    # state passes through unchanged
+    assert np.allclose(out.p, st.p)
+    assert np.allclose(out.cov, st.cov)
+
+
+def test_iekf_residual_cap():
+    world = _world_points()
+    m = _build_map(world)
+    keypts = _keypoints_from_world(world, n=500)
+    st = eskf.init_state()
+    kw = dict(ICP_KW)
+    kw["max_num_residuals"] = 100
+    out, summary = lio.iekf_update(
+        st, m, jnp.asarray(keypts), jnp.ones(keypts.shape[0], bool),
+        jnp.zeros(3, jnp.float32), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), jnp.int32(1), **kw)
+    assert bool(summary.success)
+    assert int(summary.num_residuals) <= 100
