@@ -1,0 +1,183 @@
+"""Full per-sweep LIO device step: IMU propagation -> undistortion ->
+subsampling -> iterated ESIKF -> map insertion, as ONE jitted XLA program.
+
+This is the TPU-native equivalent of the reference per-measurement path
+run() -> process() -> buildFrame() -> stateEstimation()
+(lioOptimization.cpp:1428-1584, 1037-1131, 821-893, 992-1035): all data-
+dependent control flow is lax.while_loop/masking, all shapes are static,
+and the host only feeds padded sweep tensors and reads back the pose.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sr_livo_tpu.config import (MOTION_COMP_CONSTANT_VELOCITY, MOTION_COMP_IMU,
+                                LivoConfig)
+from sr_livo_tpu.models import eskf as eskf_mod
+from sr_livo_tpu.models import lio
+from sr_livo_tpu.models.eskf import EskfState, ImuStates
+from sr_livo_tpu.ops import frame as frame_ops
+from sr_livo_tpu.ops import voxel_map as vm
+from sr_livo_tpu.utils import lie
+
+
+class SweepInput(NamedTuple):
+    """Padded device tensors for one reconstructed sweep."""
+    raw_pts: jnp.ndarray    # (N, 3) LiDAR-frame points
+    t_rel: jnp.ndarray      # (N,) seconds from sweep begin
+    pt_valid: jnp.ndarray   # (N,) bool
+    imu_t: jnp.ndarray      # (S,) sample time rel. sweep begin (incl. end)
+    imu_dt: jnp.ndarray     # (S,) integration step
+    imu_acc: jnp.ndarray    # (S, 3)
+    imu_gyr: jnp.ndarray    # (S, 3)
+    imu_valid: jnp.ndarray  # (S,) bool
+    do_optimize: jnp.ndarray        # () bool — false for the first frame
+    threshold_capacity: jnp.ndarray  # () int32 — 1 during init frames
+
+
+class SweepOutput(NamedTuple):
+    state: EskfState
+    voxel_map: vm.VoxelMap
+    summary: lio.IekfSummary
+    frame_pts_world: jnp.ndarray   # (F, 3) registered world points
+    frame_valid: jnp.ndarray       # (F,) bool
+    inserted: jnp.ndarray          # (F,) bool — stored into the map
+
+
+def _sweep_core(state: EskfState,
+                voxel_map: vm.VoxelMap,
+                sweep: SweepInput,
+                noise: jnp.ndarray,
+                r_il: jnp.ndarray, t_il: jnp.ndarray,
+                cfg: LivoConfig,
+                phase: str) -> SweepOutput:
+    """phase: 'init' (frame_id < init_num_frames) or 'steady'."""
+    icp = cfg.icp
+    odo = cfg.odometry_options
+    sh = cfg.shapes
+    is_init = phase == "init"
+    sample_voxel = odo.init_sample_voxel_size if is_init else odo.sample_voxel_size
+    sub_voxel = odo.init_voxel_size if is_init else odo.voxel_size
+    nb_voxels = 2 if is_init else icp.voxel_neighborhood
+    max_iters = max(15, icp.num_iters_icp) if is_init else icp.num_iters_icp
+
+    last_trans = state.p  # previous sweep's solved position
+
+    # 1. IMU propagation over the sweep (run()'s hot loop).  The pre-sweep
+    #    state is prepended as imu_states[0] (lioOptimization.cpp:1488-1501).
+    pre = state
+    state_pred, scan_states = eskf_mod.predict_sweep(
+        state, noise, sweep.imu_t, sweep.imu_dt, sweep.imu_acc,
+        sweep.imu_gyr, sweep.imu_valid)
+
+    def _prepend(x0, xs):
+        return jnp.concatenate([x0[None], xs], axis=0)
+
+    imu_states = ImuStates(
+        t=_prepend(jnp.zeros((), sweep.imu_t.dtype), sweep.imu_t),
+        un_acc=_prepend(lie.quat_to_rot(pre.q) @ (pre.acc_0 - pre.ba),
+                        scan_states.un_acc),
+        un_gyr=_prepend(pre.gyr_0 - pre.bg, scan_states.un_gyr),
+        p=_prepend(pre.p, scan_states.p),
+        q=_prepend(pre.q, scan_states.q),
+        v=_prepend(pre.v, scan_states.v),
+        valid=_prepend(jnp.asarray(True), scan_states.valid))
+
+    # 2. Motion undistortion to world, then to end-of-sweep LiDAR frame.
+    if odo.motion_compensation == MOTION_COMP_IMU:
+        imu_pts = frame_ops.undistort_imu(
+            sweep.raw_pts, sweep.t_rel, imu_states, r_il, t_il)
+    elif odo.motion_compensation == MOTION_COMP_CONSTANT_VELOCITY:
+        imu_pts = frame_ops.undistort_constant(
+            sweep.raw_pts, sweep.t_rel, imu_states, r_il, t_il)
+    else:
+        imu_pts = lie.quat_rotate(
+            jnp.broadcast_to(state_pred.q, (sweep.raw_pts.shape[0], 4)),
+            sweep.raw_pts @ r_il.T + t_il) + state_pred.p
+    raw_deskew = frame_ops.to_end_frame(imu_pts, imu_states, r_il, t_il)
+
+    # 3. Voxel-grid subsample to the frame budget (buildFrame:843-848).
+    frame_raw, frame_valid, _ = frame_ops.voxel_subsample(
+        raw_deskew, sweep.pt_valid, sub_voxel, sh.max_frame_points)
+
+    # 4. Grid-sample ICP keypoints (optimize, optimize.cpp:428-431).
+    key_raw, key_valid, _ = frame_ops.voxel_subsample(
+        frame_raw, frame_valid, sample_voxel, sh.max_keypoints)
+
+    # 5. Iterated ESIKF measurement update.
+    state_upd, summary = lio.iekf_update(
+        state_pred, voxel_map, key_raw, key_valid, last_trans, r_il, t_il,
+        sweep.threshold_capacity,
+        size_voxel_map=icp.size_voxel_map,
+        nb_voxels_visited=nb_voxels,
+        max_number_neighbors=icp.max_number_neighbors,
+        min_number_neighbors=icp.min_number_neighbors,
+        power_planarity=icp.power_planarity,
+        max_dist_to_plane=icp.max_dist_to_plane_icp,
+        weight_alpha=icp.weight_alpha,
+        weight_neighborhood=icp.weight_neighborhood,
+        max_num_residuals=icp.max_num_residuals,
+        max_probe=sh.map_max_probe,
+        max_iters=max_iters,
+        threshold_translation_norm=icp.threshold_translation_norm,
+        threshold_orientation_norm=icp.threshold_orientation_norm,
+        laser_point_cov=cfg.laser_point_cov)
+
+    state_new = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(sweep.do_optimize, a, b), state_upd, state_pred)
+    success = jnp.where(sweep.do_optimize, summary.success, True)
+
+    # 6. Register the frame at the solved pose and insert into the map
+    #    (addPointsToMap, lioOptimization.cpp:520-554).  Skipped when the
+    #    ICP failed (stateEstimation early-returns, :1011-1014).
+    frame_world = frame_ops.transform_to_world(
+        frame_raw, state_new.q, state_new.p, r_il, t_il)
+    insert_valid = frame_valid & success
+    voxel_map_new, inserted = vm.insert(
+        voxel_map, frame_world, insert_valid, icp.size_voxel_map,
+        odo.min_distance_points, sh.map_max_probe)
+
+    return SweepOutput(state=state_new, voxel_map=voxel_map_new,
+                       summary=summary._replace(success=success),
+                       frame_pts_world=frame_world,
+                       frame_valid=frame_valid, inserted=inserted)
+
+
+class LioEngine:
+    """Compiled per-sweep LIO step factory (two phase specializations)."""
+
+    def __init__(self, cfg: LivoConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.noise = eskf_mod.noise_diag(
+            cfg.imu_options.acc_cov, cfg.imu_options.gyr_cov,
+            cfg.imu_options.b_acc_cov, cfg.imu_options.b_gyr_cov, dtype)
+        self.r_il = jnp.asarray(cfg.extrinsics.R_imu_lidar(), dtype)
+        self.t_il = jnp.asarray(cfg.extrinsics.t_imu_lidar(), dtype)
+        self._steps = {}
+        for phase in ("init", "steady"):
+            self._steps[phase] = jax.jit(
+                functools.partial(self._raw_step, phase=phase),
+                donate_argnums=(1,))
+
+    def _raw_step(self, state, voxel_map, sweep, *, phase):
+        return _sweep_core(state, voxel_map, sweep, self.noise,
+                           self.r_il, self.t_il, self.cfg, phase)
+
+    def init_state(self) -> EskfState:
+        return eskf_mod.init_state(self.cfg.gravity_acc, self.dtype)
+
+    def make_map(self) -> vm.VoxelMap:
+        sh = self.cfg.shapes
+        return vm.make_map(sh.map_capacity, sh.map_voxel_points, self.dtype)
+
+    def step(self, state: EskfState, voxel_map: vm.VoxelMap,
+             sweep: SweepInput, frame_id: int) -> SweepOutput:
+        phase = ("init" if frame_id < self.cfg.odometry_options.init_num_frames
+                 else "steady")
+        return self._steps[phase](state, voxel_map, sweep)

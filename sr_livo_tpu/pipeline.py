@@ -1,0 +1,190 @@
+"""LIVO pipeline orchestrator: the host-side equivalent of lioOptimization.
+
+Owns the sweep cutter, the IMU initializer, the compiled LIO engine, and
+(once the vision module is attached) the camera ESIKFs + RGB map.  The
+host only cuts/pads streams and reads back poses; all estimation runs in
+jitted device programs.
+
+Reference topology: lioOptimization::run()/process()
+(/root/reference/src/lioOptimization.cpp:1428-1584, 1037-1131).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from sr_livo_tpu.config import LivoConfig
+from sr_livo_tpu.models import eskf as eskf_mod
+from sr_livo_tpu.models.odometry import LioEngine, SweepInput
+from sr_livo_tpu.runtime import measurements as meas_mod
+from sr_livo_tpu.runtime import tum
+
+
+@dataclass
+class FrameRecord:
+    time: float
+    position: np.ndarray
+    quat_wxyz: np.ndarray
+    velocity: np.ndarray
+    ba: np.ndarray
+    bg: np.ndarray
+    success: bool
+    num_residuals: int
+    iterations: int
+    rendering: bool
+
+
+class LivoPipeline:
+    def __init__(self, cfg: LivoConfig, vision=None):
+        self.cfg = cfg
+        self.engine = LioEngine(cfg)
+        self.cutter = meas_mod.SweepCutter(cfg.sweep_interval)
+        self.initializer = eskf_mod.ImuInitializer(
+            float(np.linalg.norm(cfg.gravity_acc)))
+        self.state = self.engine.init_state()
+        self.voxel_map = self.engine.make_map()
+        self.vision = vision  # attached imaging module (models.vision)
+        self.initialized = False
+        self.current_time = -1.0
+        self.index_frame = 1
+        self.records: List[FrameRecord] = []
+        self._last_imu_sample = None
+
+    # ---- ingest -----------------------------------------------------------
+    def push_points(self, pts: np.ndarray):
+        self.cutter.push_points(pts)
+
+    def push_imu(self, t: float, acc, gyr):
+        self.cutter.push_imu(t, acc, gyr)
+
+    def push_image(self, t: float, image: Optional[np.ndarray]):
+        self.cutter.push_image(t, image)
+
+    # ---- processing -------------------------------------------------------
+    def process_available(self) -> int:
+        """Drain the cutter; returns the number of frames processed."""
+        n = 0
+        while True:
+            meas = self.cutter.get()
+            if meas is None:
+                return n
+            self._process_measurement(meas)
+            n += 1
+
+    def _process_measurement(self, meas: meas_mod.Measurement):
+        if self.current_time < 0:
+            self.current_time = meas.time_sweep_begin
+
+        if not self.initialized:
+            # Static init phase (run(), lioOptimization.cpp:1438-1486).
+            samples, self.current_time = meas_mod.interpolate_imu(
+                meas, self.current_time)
+            for (_dt, t, acc, gyr) in samples:
+                self.initializer.push(t, acc, gyr)
+                self._last_imu_sample = (acc, gyr)
+            if self.initializer.ready():
+                self.state = self.initializer.build_state(self.state)
+                if self._last_imu_sample is not None:
+                    acc, gyr = self._last_imu_sample
+                    self.state = self.state._replace(
+                        acc_0=jnp.asarray(acc, jnp.float32),
+                        gyr_0=jnp.asarray(gyr, jnp.float32))
+                self.initialized = True
+            return
+
+        prep = meas_mod.prepare_sweep(meas, self.current_time, self.cfg)
+        self.current_time = prep.new_current_time
+        sweep = SweepInput(
+            raw_pts=jnp.asarray(prep.raw_pts),
+            t_rel=jnp.asarray(prep.t_rel),
+            pt_valid=jnp.asarray(prep.pt_valid),
+            imu_t=jnp.asarray(prep.imu_t),
+            imu_dt=jnp.asarray(prep.imu_dt),
+            imu_acc=jnp.asarray(prep.imu_acc),
+            imu_gyr=jnp.asarray(prep.imu_gyr),
+            imu_valid=jnp.asarray(prep.imu_valid),
+            do_optimize=jnp.asarray(self.index_frame > 1),
+            threshold_capacity=jnp.int32(
+                1 if self.index_frame < self.cfg.icp.init_num_frames
+                else self.cfg.icp.threshold_voxel_occupancy))
+
+        out = self.engine.step(self.state, self.voxel_map, sweep,
+                               self.index_frame)
+        self.state = out.state
+        self.voxel_map = out.voxel_map
+
+        if self.vision is not None and meas.rendering and meas.image is not None:
+            self.vision.process_frame(self, meas, out)
+
+        self.records.append(FrameRecord(
+            time=meas.time_image,
+            position=np.asarray(out.state.p, np.float64),
+            quat_wxyz=np.asarray(out.state.q, np.float64),
+            velocity=np.asarray(out.state.v, np.float64),
+            ba=np.asarray(out.state.ba, np.float64),
+            bg=np.asarray(out.state.bg, np.float64),
+            success=bool(out.summary.success),
+            num_residuals=int(out.summary.num_residuals),
+            iterations=int(out.summary.iterations),
+            rendering=meas.rendering))
+        self.index_frame += 1
+
+    # ---- output -----------------------------------------------------------
+    def trajectory(self):
+        ts = np.array([r.time for r in self.records])
+        ps = np.stack([r.position for r in self.records]) if self.records \
+            else np.zeros((0, 3))
+        qs = np.stack([r.quat_wxyz for r in self.records]) if self.records \
+            else np.zeros((0, 4))
+        return ts, ps, qs
+
+    def write_outputs(self, out_dir: Optional[str] = None):
+        """pose.txt / velocity.txt / bias.txt (recordSinglePose,
+        lioOptimization.cpp:1133-1172)."""
+        out_dir = out_dir or self.cfg.output_path
+        os.makedirs(out_dir, exist_ok=True)
+        ts, ps, qs = self.trajectory()
+        tum.write_tum(os.path.join(out_dir, "pose.txt"), ts, ps, qs)
+        with open(os.path.join(out_dir, "velocity.txt"), "w") as f:
+            for r in self.records:
+                v = r.velocity
+                f.write(f"{r.time:.9f} {v[0]:.9f} {v[1]:.9f} {v[2]:.9f}\n")
+        with open(os.path.join(out_dir, "bias.txt"), "w") as f:
+            for r in self.records:
+                f.write(f"{r.time:.9f} "
+                        f"{r.ba[0]:.9f} {r.ba[1]:.9f} {r.ba[2]:.9f} "
+                        f"{r.bg[0]:.9f} {r.bg[1]:.9f} {r.bg[2]:.9f}\n")
+
+
+def run_streams(pipeline: LivoPipeline, stream, chunk_seconds: float = 0.25
+                ) -> LivoPipeline:
+    """Feed a SimStream (or equivalent) through the pipeline in time order,
+    interleaving sensor queues like live ROS ingest would."""
+    events = []
+    for (t, acc, gyr) in stream.imu:
+        events.append((t, "imu", (t, acc, gyr)))
+    for chunk in stream.lidar_chunks:
+        if chunk.shape[0]:
+            events.append((chunk[-1, 3], "pts", chunk))
+    for (t, img) in stream.images:
+        events.append((t, "img", (t, img)))
+    events.sort(key=lambda e: (e[0], e[1]))
+
+    next_drain = chunk_seconds
+    for (t, kind, payload) in events:
+        if kind == "imu":
+            pipeline.push_imu(*payload)
+        elif kind == "pts":
+            pipeline.push_points(payload)
+        else:
+            pipeline.push_image(*payload)
+        if t >= next_drain:
+            pipeline.process_available()
+            next_drain = t + chunk_seconds
+    pipeline.process_available()
+    return pipeline

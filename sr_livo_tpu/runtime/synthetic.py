@@ -1,0 +1,346 @@
+"""Synthetic LIVO world: deterministic sensor simulation for tests/bench.
+
+The reference validates by replaying rosbags against external ground truth
+(SURVEY §4); this module replaces that with a self-contained simulator: a
+textured planar world, a smooth analytic trajectory, and LiDAR / IMU /
+camera models producing the exact stream format the pipeline ingests.
+Ground truth is known exactly, enabling closed-loop ATE tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Rect:
+    """Finite textured rectangle: origin + two half-axes."""
+    center: np.ndarray     # (3,)
+    u: np.ndarray          # (3,) half-axis 1 (length = half extent)
+    v: np.ndarray          # (3,) half-axis 2
+    normal: np.ndarray     # (3,) unit
+
+
+def _rect(center, u, v) -> Rect:
+    center, u, v = (np.asarray(x, np.float64) for x in (center, u, v))
+    n = np.cross(u, v)
+    n /= np.linalg.norm(n)
+    return Rect(center, u, v, n)
+
+
+def make_room(half: float = 8.0, height: float = 3.0,
+              boxes: int = 3, seed: int = 0) -> List[Rect]:
+    """Closed room + a few interior boxes (gives rich plane structure)."""
+    h = half
+    rects = [
+        _rect([0, 0, 0], [h, 0, 0], [0, h, 0]),            # floor
+        _rect([0, 0, height], [h, 0, 0], [0, h, 0]),       # ceiling
+        _rect([h, 0, height / 2], [0, h, 0], [0, 0, height / 2]),
+        _rect([-h, 0, height / 2], [0, h, 0], [0, 0, height / 2]),
+        _rect([0, h, height / 2], [h, 0, 0], [0, 0, height / 2]),
+        _rect([0, -h, height / 2], [h, 0, 0], [0, 0, height / 2]),
+    ]
+    rng = np.random.RandomState(seed)
+    for _ in range(boxes):
+        c = rng.uniform(-h * 0.6, h * 0.6, 2)
+        if np.linalg.norm(c) < 3.0:   # keep the trajectory region clear
+            c = c / max(np.linalg.norm(c), 1e-6) * 3.5
+        sx, sy, sz = rng.uniform(0.4, 1.2, 3)
+        cx, cy = c
+        rects += [
+            _rect([cx + sx, cy, sz], [0, sy, 0], [0, 0, sz]),
+            _rect([cx - sx, cy, sz], [0, sy, 0], [0, 0, sz]),
+            _rect([cx, cy + sy, sz], [sx, 0, 0], [0, 0, sz]),
+            _rect([cx, cy - sy, sz], [sx, 0, 0], [0, 0, sz]),
+            _rect([cx, cy, 2 * sz], [sx, 0, 0], [0, sy, 0]),
+        ]
+    return rects
+
+
+class SyntheticWorld:
+    def __init__(self, rects: Optional[List[Rect]] = None):
+        self.rects = rects if rects is not None else make_room()
+        self._centers = np.stack([r.center for r in self.rects])
+        self._us = np.stack([r.u for r in self.rects])
+        self._vs = np.stack([r.v for r in self.rects])
+        self._ns = np.stack([r.normal for r in self.rects])
+        self._ulen2 = np.sum(self._us ** 2, axis=-1)
+        self._vlen2 = np.sum(self._vs ** 2, axis=-1)
+
+    def raycast(self, origins: np.ndarray, dirs: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batch ray casting.  origins/dirs: (N, 3).  Returns
+        (points (N, 3), hit (N,), t (N,))."""
+        o = origins[:, None, :]                       # (N, R, 3)
+        d = dirs[:, None, :]
+        denom = np.sum(d * self._ns[None], axis=-1)   # (N, R)
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        t = np.sum((self._centers[None] - o) * self._ns[None], axis=-1) / denom
+        p = o + t[..., None] * d                      # (N, R, 3)
+        rel = p - self._centers[None]
+        uu = np.sum(rel * self._us[None], axis=-1) / self._ulen2[None]
+        vv = np.sum(rel * self._vs[None], axis=-1) / self._vlen2[None]
+        ok = (t > 0.1) & (np.abs(uu) <= 1.0) & (np.abs(vv) <= 1.0)
+        t = np.where(ok, t, np.inf)
+        best = np.argmin(t, axis=-1)
+        tb = t[np.arange(t.shape[0]), best]
+        hit = np.isfinite(tb)
+        pts = origins + np.where(hit, tb, 0.0)[:, None] * dirs
+        return pts, hit, tb
+
+    def color(self, pts: np.ndarray) -> np.ndarray:
+        """Smooth procedural RGB texture in [0, 1], (N, 3).
+
+        Low-frequency + mid-frequency sinusoids: smooth enough for LK
+        gradients, varied enough to be discriminative.
+        """
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        r = 0.5 + 0.25 * np.sin(1.3 * x + 0.7 * y) + 0.15 * np.sin(3.1 * z + 2.0 * x)
+        g = 0.5 + 0.25 * np.sin(1.1 * y + 0.5 * z) + 0.15 * np.sin(2.7 * x + 1.1 * y)
+        b = 0.5 + 0.25 * np.sin(0.9 * z + 0.8 * x) + 0.15 * np.sin(2.3 * y + 1.7 * z)
+        return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+class Trajectory:
+    """Smooth analytic trajectory with full IMU observables."""
+
+    def __init__(self, amp=(2.0, 2.0, 0.25), freq=(0.25, 0.17, 0.4),
+                 height: float = 1.2, yaw_amp: float = 0.6,
+                 yaw_freq: float = 0.2, rp_amp: float = 0.08,
+                 start_still: float = 4.5):
+        self.amp = np.asarray(amp)
+        self.freq = np.asarray(freq) * 2 * np.pi
+        self.height = height
+        self.yaw_amp = yaw_amp
+        self.yaw_freq = yaw_freq * 2 * np.pi
+        self.rp_amp = rp_amp
+        self.start_still = start_still  # stationary window for IMU init
+
+    def _ramp(self, t):
+        """Smooth-step from 0 at start_still to 1 at start_still + 2 s."""
+        s = np.clip((t - self.start_still) / 2.0, 0.0, 1.0)
+        return s * s * (3 - 2 * s)
+
+    def position(self, t):
+        t = np.asarray(t, np.float64)
+        r = self._ramp(t)
+        base = np.stack([
+            self.amp[0] * np.sin(self.freq[0] * t),
+            self.amp[1] * np.sin(self.freq[1] * t + 0.6),
+            self.height + self.amp[2] * np.sin(self.freq[2] * t),
+        ], axis=-1)
+        still = np.stack([np.zeros_like(t),
+                          self.amp[1] * np.sin(0.6) * np.ones_like(t),
+                          self.height * np.ones_like(t)], axis=-1)
+        # Blend positions smoothly: p = still + r*(base - still)
+        return still + r[..., None] * (base - still)
+
+    def euler(self, t):
+        t = np.asarray(t, np.float64)
+        r = self._ramp(t)
+        yaw = r * self.yaw_amp * np.sin(self.yaw_freq * t)
+        pitch = r * self.rp_amp * np.sin(0.9 * t + 0.3)
+        roll = r * self.rp_amp * np.sin(1.1 * t + 1.2)
+        return roll, pitch, yaw
+
+    def rotation(self, t):
+        """R_world_body, (..., 3, 3): Rz(yaw) Ry(pitch) Rx(roll)."""
+        roll, pitch, yaw = self.euler(t)
+        cr, sr = np.cos(roll), np.sin(roll)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        shape = np.shape(yaw) + (3, 3)
+        r = np.empty(shape)
+        r[..., 0, 0] = cy * cp
+        r[..., 0, 1] = cy * sp * sr - sy * cr
+        r[..., 0, 2] = cy * sp * cr + sy * sr
+        r[..., 1, 0] = sy * cp
+        r[..., 1, 1] = sy * sp * sr + cy * cr
+        r[..., 1, 2] = sy * sp * cr - cy * sr
+        r[..., 2, 0] = -sp
+        r[..., 2, 1] = cp * sr
+        r[..., 2, 2] = cp * cr
+        return r
+
+    def quat(self, t):
+        """(w, x, y, z) from rotation matrix (scalar t)."""
+        r = self.rotation(t)
+        return _rot_to_quat(r)
+
+    def velocity(self, t, eps=1e-4):
+        return (self.position(t + eps) - self.position(t - eps)) / (2 * eps)
+
+    def acceleration(self, t, eps=1e-3):
+        return ((self.position(t + eps) - 2 * self.position(t)
+                 + self.position(t - eps)) / (eps * eps))
+
+    def angular_velocity_body(self, t, eps=1e-4):
+        """w_body via numerical differentiation: R(t)^T R(t+eps) ~ exp(w dt)."""
+        r0 = self.rotation(t)
+        r1 = self.rotation(t + eps)
+        dr = np.swapaxes(r0, -1, -2) @ r1
+        return _log_rot(dr) / eps
+
+
+def _rot_to_quat(r):
+    w = np.sqrt(max(0.0, 1.0 + r[0, 0] + r[1, 1] + r[2, 2])) / 2.0
+    if w > 1e-6:
+        x = (r[2, 1] - r[1, 2]) / (4 * w)
+        y = (r[0, 2] - r[2, 0]) / (4 * w)
+        z = (r[1, 0] - r[0, 1]) / (4 * w)
+    else:  # not hit on our smooth trajectories
+        x, y, z = 0.0, 0.0, 0.0
+    q = np.array([w, x, y, z])
+    return q / np.linalg.norm(q)
+
+
+def _log_rot(r):
+    tr = np.trace(r) if r.ndim == 2 else np.einsum("...ii->...", r)
+    c = np.clip((tr - 1) / 2, -1, 1)
+    theta = np.arccos(c)
+    vee = np.stack([r[..., 2, 1] - r[..., 1, 2],
+                    r[..., 0, 2] - r[..., 2, 0],
+                    r[..., 1, 0] - r[..., 0, 1]], axis=-1)
+    small = theta < 1e-7
+    scale = np.where(small, 0.5, theta / (2 * np.maximum(np.sin(theta), 1e-12)))
+    return vee * scale[..., None]
+
+
+def lidar_directions_spinning(n_azimuth: int = 120, n_rings: int = 16,
+                              fov_up: float = 15.0, fov_down: float = -15.0):
+    """Velodyne-style unit direction table (n_azimuth * n_rings, 3) +
+    per-point intra-sweep phase in [0, 1)."""
+    az = np.linspace(0, 2 * np.pi, n_azimuth, endpoint=False)
+    el = np.deg2rad(np.linspace(fov_down, fov_up, n_rings))
+    azg, elg = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.cos(elg) * np.cos(azg),
+                  np.cos(elg) * np.sin(azg),
+                  np.sin(elg)], axis=-1).reshape(-1, 3)
+    phase = np.repeat(az / (2 * np.pi), n_rings)
+    return d, phase
+
+
+@dataclass
+class SimStream:
+    """All sensor streams for one simulated run."""
+    imu: list          # (t, acc, gyr)
+    lidar_chunks: list  # (N, 4) arrays
+    images: list       # (t, image (H, W, 3) float32) — may be empty
+    gt_times: np.ndarray
+    gt_pos: np.ndarray
+    gt_quat: np.ndarray
+
+
+def simulate(duration: float = 12.0, *, imu_rate: float = 200.0,
+             sweep_rate: float = 10.0, image_rate: float = 10.0,
+             n_azimuth: int = 120, n_rings: int = 16,
+             lidar_noise: float = 0.004, imu_acc_noise: float = 0.01,
+             imu_gyr_noise: float = 0.001,
+             acc_bias=(0.05, -0.03, 0.02), gyr_bias=(0.002, -0.001, 0.003),
+             image_size: Tuple[int, int] = (0, 0),
+             camera=None, image_offset: float = 0.035,
+             seed: int = 0, world: Optional[SyntheticWorld] = None,
+             traj: Optional[Trajectory] = None) -> SimStream:
+    """Simulate a run.  Returns streams in pipeline ingest format.
+
+    Images are rendered only when image_size != (0, 0) (expensive).
+    `image_offset` staggers image timestamps against nominal sweep
+    boundaries so sweep reconstruction actually re-cuts the stream.
+    """
+    rng = np.random.RandomState(seed)
+    world = world or SyntheticWorld()
+    traj = traj or Trajectory()
+    g_vec = np.array([0.0, 0.0, 9.81])
+    acc_bias = np.asarray(acc_bias)
+    gyr_bias = np.asarray(gyr_bias)
+
+    # IMU stream
+    imu = []
+    t = 0.005
+    while t < duration:
+        r = traj.rotation(t)
+        acc = r.T @ (traj.acceleration(t) + g_vec)
+        gyr = traj.angular_velocity_body(t)
+        imu.append((t, acc + acc_bias + rng.randn(3) * imu_acc_noise,
+                    gyr + gyr_bias + rng.randn(3) * imu_gyr_noise))
+        t += 1.0 / imu_rate
+
+    # LiDAR stream: continuous spinning pattern, chunked per sweep interval
+    dirs, phase = lidar_directions_spinning(n_azimuth, n_rings)
+    sweep_T = 1.0 / sweep_rate
+    lidar_chunks = []
+    t0 = 0.01
+    while t0 + sweep_T < duration:
+        ts = t0 + phase * sweep_T
+        order = np.argsort(ts, kind="stable")
+        ts_o = ts[order]
+        dirs_o = dirs[order]
+        origins = traj.position(ts_o)
+        rots = traj.rotation(ts_o)
+        dirs_w = np.einsum("nij,nj->ni", rots, dirs_o)
+        pts_w, hit, rng_t = world.raycast(origins, dirs_w)
+        # convert to sensor frame + range noise
+        local = np.einsum("nji,nj->ni", rots, pts_w - origins)
+        rr = np.linalg.norm(local, axis=-1, keepdims=True)
+        local = local * (1.0 + rng.randn(local.shape[0], 1) * lidar_noise / np.maximum(rr, 0.5))
+        chunk = np.concatenate([local[hit], ts_o[hit, None]], axis=-1)
+        lidar_chunks.append(chunk)
+        t0 += sweep_T
+
+    # Camera stream
+    images = []
+    if image_size[0] > 0 and camera is not None:
+        tc = 0.1 + image_offset
+        while tc < duration - 0.05:
+            images.append((tc, render_image(world, traj, tc, camera,
+                                            image_size)))
+            tc += 1.0 / image_rate
+    else:
+        # image *timestamps* only (sweep alignment still exercised)
+        tc = 0.1 + image_offset
+        while tc < duration - 0.05:
+            images.append((tc, None))
+            tc += 1.0 / image_rate
+
+    gt_times = np.arange(0.0, duration, 0.01)
+    gt_pos = traj.position(gt_times)
+    gt_quat = np.stack([traj.quat(ti) for ti in gt_times])
+    return SimStream(imu=imu, lidar_chunks=lidar_chunks, images=images,
+                     gt_times=gt_times, gt_pos=gt_pos, gt_quat=gt_quat)
+
+
+def render_image(world: SyntheticWorld, traj: Trajectory, t: float,
+                 camera, size: Tuple[int, int],
+                 r_imu_camera: Optional[np.ndarray] = None,
+                 t_imu_camera: Optional[np.ndarray] = None) -> np.ndarray:
+    """Ray-cast a pinhole image (H, W, 3) float32 in [0, 1].
+
+    `camera` is (fx, fy, cx, cy) for the given size.  The camera frame is
+    the standard CV convention (+z forward, +x right, +y down); by default
+    it looks along the body +x axis (a typical LiDAR-forward rig).
+    """
+    h, w = size
+    fx, fy, cx, cy = camera
+    if r_imu_camera is None:
+        # camera z -> body x, camera x -> body -y, camera y -> body -z
+        r_imu_camera = np.array([[0.0, 0.0, 1.0],
+                                 [-1.0, 0.0, 0.0],
+                                 [0.0, -1.0, 0.0]])
+    if t_imu_camera is None:
+        t_imu_camera = np.zeros(3)
+    us, vs = np.meshgrid(np.arange(w), np.arange(h))
+    d_cam = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us)],
+                     axis=-1).reshape(-1, 3).astype(np.float64)
+    d_cam /= np.linalg.norm(d_cam, axis=-1, keepdims=True)
+    r_wb = traj.rotation(t)
+    p_wb = traj.position(t)
+    r_wc = r_wb @ r_imu_camera
+    o = (r_wb @ t_imu_camera + p_wb)[None, :].repeat(d_cam.shape[0], 0)
+    d_w = d_cam @ r_wc.T
+    pts, hit, _ = world.raycast(o, d_w)
+    col = world.color(pts)
+    col[~hit] = 0.0
+    return col.reshape(h, w, 3).astype(np.float32)

@@ -1,0 +1,108 @@
+"""End-to-end LIO test: synthetic world replay -> trajectory ATE.
+
+This is the integration milestone of SURVEY §7 stage 2/3: sweep
+reconstruction + ESKF + IEKF + map, closed loop against exact ground
+truth from the simulator.
+"""
+import numpy as np
+import pytest
+
+from sr_livo_tpu.config import LivoConfig
+from sr_livo_tpu.pipeline import LivoPipeline, run_streams
+from sr_livo_tpu.runtime import synthetic, tum
+
+
+def _small_cfg() -> LivoConfig:
+    cfg = LivoConfig()
+    cfg.odometry_options.voxel_size = 0.2
+    cfg.odometry_options.init_voxel_size = 0.2
+    cfg.odometry_options.sample_voxel_size = 0.8
+    cfg.odometry_options.init_sample_voxel_size = 0.8
+    cfg.odometry_options.min_distance_points = 0.05
+    cfg.icp.size_voxel_map = 0.6
+    cfg.icp.min_number_neighbors = 12
+    cfg.icp.max_num_residuals = 600
+    cfg.icp.num_iters_icp = 5
+    cfg.icp.threshold_translation_norm = 1e-3
+    cfg.icp.threshold_orientation_norm = 1e-2
+    cfg.shapes.max_sweep_points = 4096
+    cfg.shapes.max_frame_points = 4096
+    cfg.shapes.max_keypoints = 768
+    cfg.shapes.max_imu_samples = 48
+    cfg.shapes.map_capacity = 1 << 16
+    cfg.imu_options.acc_cov = 0.1
+    cfg.imu_options.gyr_cov = 0.1
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return synthetic.simulate(duration=10.0, n_azimuth=100, n_rings=12,
+                              seed=2)
+
+
+def test_cutter_sweep_alignment(sim):
+    from sr_livo_tpu.runtime.measurements import SweepCutter
+    cutter = SweepCutter(0.1)
+    for (t, acc, gyr) in sim.imu:
+        cutter.push_imu(t, acc, gyr)
+    for c in sim.lidar_chunks:
+        cutter.push_points(c)
+    for (t, img) in sim.images:
+        cutter.push_image(t, img)
+    sweeps = []
+    while True:
+        m = cutter.get()
+        if m is None:
+            break
+        sweeps.append(m)
+    assert len(sweeps) > 80
+    for m in sweeps:
+        # image-aligned sweeps end exactly at an image timestamp
+        if m.rendering:
+            assert any(abs(m.time_image - t) < 1e-9
+                       for t in [im_t for im_t, _ in sim.images])
+        # all points lie inside the sweep window
+        if m.points.shape[0]:
+            assert m.points[:, 3].max() <= m.time_image + 1e-9
+            assert m.points[:, 3].min() >= m.time_sweep_begin - 1e-9
+        # contiguous coverage
+    for a, b in zip(sweeps[:-1], sweeps[1:]):
+        assert abs(b.time_sweep_begin - a.time_image) < 1e-9
+
+
+def test_lio_end_to_end_ate(sim):
+    cfg = _small_cfg()
+    pipe = LivoPipeline(cfg)
+    run_streams(pipe, sim)
+
+    assert pipe.initialized, "IMU static init never completed"
+    assert len(pipe.records) > 40
+    n_fail = sum(1 for r in pipe.records if not r.success)
+    assert n_fail <= 2, f"{n_fail} failed registrations"
+
+    ts, ps, qs = pipe.trajectory()
+    ate = tum.ate_rmse(ts, ps, sim.gt_times, sim.gt_pos, align=True)
+    # Exact-simulation LIO should track to a few cm.
+    assert ate < 0.05, f"ATE RMSE {ate:.3f} m"
+
+    # Translation-only compensation: the odometry frame is the body pose at
+    # init (origin, identity yaw), so after shifting both trajectories to
+    # their first pose they should agree without rotational alignment.
+    i0, g0 = tum.associate(ts[:1], sim.gt_times)
+    gt_shift = sim.gt_pos - sim.gt_pos[g0[0]]
+    est_shift = ps - ps[0]
+    ate_raw = tum.ate_rmse(ts, est_shift, sim.gt_times, gt_shift, align=False)
+    assert ate_raw < 0.3, f"start-aligned ATE {ate_raw:.3f} m"
+
+
+def test_outputs_written(tmp_path, sim):
+    cfg = _small_cfg()
+    pipe = LivoPipeline(cfg)
+    run_streams(pipe, sim)
+    pipe.write_outputs(str(tmp_path))
+    t, p, q = tum.read_tum(str(tmp_path / "pose.txt"))
+    assert t.shape[0] == len(pipe.records)
+    assert np.all(np.isfinite(p))
+    nrm = np.linalg.norm(q, axis=-1)
+    assert np.allclose(nrm, 1.0, atol=1e-5)
