@@ -1,0 +1,110 @@
+"""Multi-device (8-way virtual CPU mesh) sharded LIO tests.
+
+Validates that the map-sharded engine reproduces the single-device
+trajectory and that insert routing/kNN merging across shards is exact.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr_livo_tpu.config import LivoConfig
+from sr_livo_tpu.models.odometry import LioEngine, SweepInput
+from sr_livo_tpu.parallel import mesh as mesh_mod
+from sr_livo_tpu.parallel.sharded_lio import ShardedLioEngine, shard_of
+from sr_livo_tpu.ops import voxel_map as vm
+from sr_livo_tpu.runtime import synthetic
+from sr_livo_tpu.runtime import measurements as meas_mod
+
+
+def _cfg() -> LivoConfig:
+    cfg = LivoConfig()
+    cfg.odometry_options.voxel_size = 0.2
+    cfg.odometry_options.init_voxel_size = 0.2
+    cfg.odometry_options.sample_voxel_size = 0.8
+    cfg.odometry_options.init_sample_voxel_size = 0.8
+    cfg.odometry_options.min_distance_points = 0.05
+    cfg.icp.size_voxel_map = 0.6
+    cfg.icp.min_number_neighbors = 12
+    cfg.icp.max_num_residuals = -1     # disable cap: exact parity check
+    cfg.shapes.max_sweep_points = 2048
+    cfg.shapes.max_frame_points = 2048
+    cfg.shapes.max_keypoints = 512
+    cfg.shapes.max_imu_samples = 48
+    cfg.shapes.map_capacity = 1 << 15
+    return cfg
+
+
+def _sweeps(cfg, duration=4.0, n=8):
+    sim = synthetic.simulate(duration=duration, n_azimuth=64, n_rings=10,
+                             seed=4)
+    cutter = meas_mod.SweepCutter(0.1)
+    for (t, a, g) in sim.imu:
+        cutter.push_imu(t, a, g)
+    for c in sim.lidar_chunks:
+        cutter.push_points(c)
+    for (t, img) in sim.images:
+        cutter.push_image(t, img)
+    out = []
+    current = None
+    while len(out) < n:
+        m = cutter.get()
+        if m is None:
+            break
+        if current is None:
+            current = m.time_sweep_begin
+        prep = meas_mod.prepare_sweep(m, current, cfg)
+        current = prep.new_current_time
+        out.append(prep)
+    return out
+
+
+def test_shard_of_deterministic_routing():
+    coords = jnp.asarray(np.random.RandomState(0).randint(-100, 100, (1000, 3)),
+                         jnp.int32)
+    s = np.asarray(shard_of(coords, 8))
+    assert s.min() >= 0 and s.max() < 8
+    # roughly balanced
+    counts = np.bincount(s, minlength=8)
+    assert counts.min() > 50
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_matches_single_device():
+    cfg = _cfg()
+    preps = _sweeps(cfg, n=6)
+    assert len(preps) >= 4
+
+    single = LioEngine(cfg)
+    mesh = mesh_mod.make_mesh(8)
+    sharded = ShardedLioEngine(cfg, mesh)
+
+    s1, m1 = single.init_state(), single.make_map()
+    s2, m2 = sharded.init_state(), sharded.make_map()
+
+    for fid, prep in enumerate(preps, start=1):
+        sweep = SweepInput(
+            raw_pts=jnp.asarray(prep.raw_pts), t_rel=jnp.asarray(prep.t_rel),
+            pt_valid=jnp.asarray(prep.pt_valid),
+            imu_t=jnp.asarray(prep.imu_t), imu_dt=jnp.asarray(prep.imu_dt),
+            imu_acc=jnp.asarray(prep.imu_acc),
+            imu_gyr=jnp.asarray(prep.imu_gyr),
+            imu_valid=jnp.asarray(prep.imu_valid),
+            do_optimize=jnp.asarray(fid > 1),
+            threshold_capacity=jnp.int32(1))
+        o1 = single.step(s1, m1, sweep, fid)
+        o2 = sharded.step(s2, m2, sweep, fid)
+        s1, m1 = o1.state, o1.voxel_map
+        s2, m2 = o2.state, o2.voxel_map
+
+        # identical stored point count (same routing-invariant dedup)
+        assert int(vm.map_size(m1)) == int(vm.map_size(m2)), fid
+        # trajectories agree to float tolerance
+        assert np.allclose(o1.state.p, o2.state.p, atol=2e-3), (
+            fid, np.asarray(o1.state.p), np.asarray(o2.state.p))
+        assert np.allclose(o1.state.q, o2.state.q, atol=1e-4)
+        assert bool(o1.summary.success) == bool(o2.summary.success)
+
+    # residual counts in the same ballpark (tie-breaks may differ)
+    assert abs(int(o1.summary.num_residuals)
+               - int(o2.summary.num_residuals)) <= 5
