@@ -1,0 +1,127 @@
+"""Batched pyramidal Lucas-Kanade optical flow.
+
+TPU-native re-design of the vendored OpenCV LK kernel
+(/root/reference/src/lkpyramid.cpp): instead of SSE2 intrinsics +
+cv::parallel_for_ over points, all <=M tracks are solved as one batched
+array program per pyramid level — (M, W^2) bilinear window gathers, 2x2
+normal equations on the VPU, masked Gauss-Newton iterations.  Pyramids
+and Scharr derivative maps of the previous frame are reused across frames
+(the reference's swapImageBuffer trick, lkpyramid.cpp:744-753) by keeping
+them in the vision carry state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sr_livo_tpu.ops import image_ops
+
+
+class LkParams(NamedTuple):
+    window: int = 21
+    levels: int = 3            # pyramid levels above full-res (0..levels)
+    iters: int = 10
+    eps: float = 0.05
+    min_eig_threshold: float = 1e-4
+
+
+def _window_offsets(window: int, dtype=jnp.float32) -> jnp.ndarray:
+    half = (window - 1) / 2.0
+    r = jnp.arange(window, dtype=dtype) - half
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([ox.ravel(), oy.ravel()], axis=-1)  # (W^2, 2) as (u, v)
+
+
+def _track_level(img_prev, img_cur, dx_prev, dy_prev, pts_prev, guess,
+                 valid, params: LkParams):
+    """One pyramid level: returns (new_guess, ok, min_eig)."""
+    offs = _window_offsets(params.window, pts_prev.dtype)   # (K, 2)
+    uv_prev = pts_prev[:, None, :] + offs[None, :, :]       # (M, K, 2)
+
+    i_prev = image_ops.bilinear_sample(img_prev, uv_prev)   # (M, K)
+    gx = image_ops.bilinear_sample(dx_prev, uv_prev)
+    gy = image_ops.bilinear_sample(dy_prev, uv_prev)
+
+    a11 = jnp.sum(gx * gx, axis=-1)
+    a12 = jnp.sum(gx * gy, axis=-1)
+    a22 = jnp.sum(gy * gy, axis=-1)
+    det = a11 * a22 - a12 * a12
+    tr = a11 + a22
+    w2 = params.window * params.window
+    min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / (2.0 * w2)
+    ok_g = (min_eig > params.min_eig_threshold) & (det > 1e-12)
+    det_safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+
+    h, w = img_cur.shape
+
+    def body(_i, carry):
+        g, live = carry
+        uv_cur = g[:, None, :] + offs[None, :, :]
+        i_cur = image_ops.bilinear_sample(img_cur, uv_cur)
+        diff = i_cur - i_prev
+        b1 = jnp.sum(diff * gx, axis=-1)
+        b2 = jnp.sum(diff * gy, axis=-1)
+        du = -(a22 * b1 - a12 * b2) / det_safe
+        dv = -(a11 * b2 - a12 * b1) / det_safe
+        delta = jnp.stack([du, dv], axis=-1)
+        g_new = jnp.where(live[:, None], g + delta, g)
+        live = live & (jnp.sum(delta * delta, axis=-1) >= params.eps ** 2)
+        return g_new, live
+
+    live0 = ok_g & valid
+    guess, _ = jax.lax.fori_loop(0, params.iters, body, (guess, live0))
+
+    half = (params.window - 1) / 2.0
+    inb = ((guess[:, 0] > half) & (guess[:, 0] < w - half - 1)
+           & (guess[:, 1] > half) & (guess[:, 1] < h - half - 1))
+    inb_prev = ((pts_prev[:, 0] > half) & (pts_prev[:, 0] < w - half - 1)
+                & (pts_prev[:, 1] > half) & (pts_prev[:, 1] < h - half - 1))
+    return guess, ok_g & inb & inb_prev, min_eig
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def track_pyramidal(prev_pyr: Tuple[jnp.ndarray, ...],
+                    cur_pyr: Tuple[jnp.ndarray, ...],
+                    prev_dx: Tuple[jnp.ndarray, ...],
+                    prev_dy: Tuple[jnp.ndarray, ...],
+                    pts_prev: jnp.ndarray,       # (M, 2) full-res pixels
+                    valid: jnp.ndarray,          # (M,) bool
+                    params: LkParams = LkParams(),
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Track points from prev -> cur through the pyramid (coarse to fine).
+
+    Returns (pts_cur (M, 2), status (M,) bool).  Derivatives are of the
+    *previous* image per level (reference semantics: the gradient windows
+    come from the prev pyramid, lkpyramid.cpp:231-334).
+    """
+    n_levels = len(prev_pyr)
+    scale = 2.0 ** (n_levels - 1)
+    guess = pts_prev / scale
+    status = valid
+    for lvl in range(n_levels - 1, -1, -1):
+        p_l = pts_prev / (2.0 ** lvl)
+        guess, ok, _eig = _track_level(
+            prev_pyr[lvl], cur_pyr[lvl], prev_dx[lvl], prev_dy[lvl],
+            p_l, guess, valid, params)
+        if lvl == 0:
+            status = status & ok
+        else:
+            # keep coarse failures alive but reset their guess to identity
+            guess = jnp.where(ok[:, None], guess, p_l)
+            guess = guess * 2.0
+    return guess, status
+
+
+def precompute_frame(gray: jnp.ndarray, levels: int):
+    """Build (pyramid, dx, dy) tuples for one frame (reused as `prev`)."""
+    pyr = image_ops.build_pyramid(gray, levels)
+    dxs, dys = [], []
+    for img in pyr:
+        dx, dy = image_ops.scharr_derivatives(img)
+        dxs.append(dx)
+        dys.append(dy)
+    return tuple(pyr), tuple(dxs), tuple(dys)

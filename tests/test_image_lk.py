@@ -1,0 +1,137 @@
+"""Tests for image ops and the batched pyramidal LK tracker."""
+import jax.numpy as jnp
+import numpy as np
+
+from sr_livo_tpu.ops import image_ops, lk
+
+RNG = np.random.RandomState(5)
+
+
+def _texture(h=120, w=160, shift=(0.0, 0.0)):
+    """Smooth multi-frequency texture, optionally translated by (du, dv)."""
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    x = xs - shift[0]
+    y = ys - shift[1]
+    img = (128 + 50 * np.sin(0.11 * x) * np.cos(0.13 * y)
+           + 40 * np.sin(0.053 * (x + y)) + 25 * np.cos(0.19 * x - 0.07 * y))
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def test_rgb_to_gray():
+    img = RNG.uniform(0, 255, (8, 8, 3)).astype(np.float32)
+    g = np.asarray(image_ops.rgb_to_gray(jnp.asarray(img)))
+    ref = img @ np.array([0.299, 0.587, 0.114])
+    assert np.allclose(g, ref, atol=1e-3)
+
+
+def test_bilinear_sample_exact_and_midpoint():
+    img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
+    uv = jnp.asarray([[1.0, 2.0], [0.5, 0.5], [2.5, 1.5]])
+    out = np.asarray(image_ops.bilinear_sample(img, uv))
+    # v=2 is the last row; the boundary clamp (w-1.001) nudges it slightly
+    assert abs(out[0] - 9.0) < 5e-3      # img[2,1]
+    assert abs(out[1] - (0 + 1 + 4 + 5) / 4) < 1e-5
+    assert abs(out[2] - (6 + 7 + 10 + 11) / 4) < 1e-5
+
+
+def test_undistort_map_zero_distortion_identity():
+    K = np.array([[100.0, 0, 80], [0, 100.0, 60], [0, 0, 1]])
+    m = image_ops.make_undistort_map(K, np.zeros(5), (120, 160))
+    us, vs = np.meshgrid(np.arange(160), np.arange(120))
+    assert np.allclose(m[..., 0], us, atol=1e-4)
+    assert np.allclose(m[..., 1], vs, atol=1e-4)
+
+
+def test_undistort_roundtrip_with_distortion():
+    K = np.array([[100.0, 0, 80], [0, 100.0, 60], [0, 0, 1]])
+    dist = np.array([-0.1, 0.05, 0.001, -0.001, 0.0])
+    m = image_ops.make_undistort_map(K, dist, (120, 160))
+    # center pixel maps near itself; corners move
+    assert np.linalg.norm(m[60, 80] - [80, 60]) < 0.5
+    assert np.linalg.norm(m[0, 0] - [0, 0]) > 1.0
+
+
+def test_clahe_improves_contrast_and_range():
+    # low-contrast image in [100, 140]
+    img = _texture() * 0.15 + 100.0
+    out = np.asarray(image_ops.clahe(jnp.asarray(img), 3.0, 8))
+    assert out.shape == img.shape
+    assert np.all(np.isfinite(out))
+    assert out.std() > img.std() * 1.5   # contrast expanded
+    assert out.min() >= 0 and out.max() <= 255.5
+
+
+def test_clahe_uniform_image_stable():
+    img = jnp.full((64, 64), 77.0)
+    out = np.asarray(image_ops.clahe(img, 3.0, 4))
+    assert np.all(np.isfinite(out))
+    assert out.std() < 10.0
+
+
+def test_pyr_down_shape_and_smoothing():
+    img = jnp.asarray(_texture())
+    down = np.asarray(image_ops.pyr_down(img))
+    assert down.shape == (60, 80)
+    # mean preserved approximately
+    assert abs(down.mean() - float(img.mean())) < 2.0
+
+
+def test_scharr_on_ramp():
+    ys, xs = np.meshgrid(np.arange(32, dtype=np.float32),
+                         np.arange(32, dtype=np.float32), indexing="ij")
+    img = jnp.asarray(3.0 * xs + 7.0 * ys)
+    dx, dy = image_ops.scharr_derivatives(img)
+    # interior gradient equals the ramp slope
+    assert np.allclose(np.asarray(dx)[8:-8, 8:-8], 3.0, atol=1e-3)
+    assert np.allclose(np.asarray(dy)[8:-8, 8:-8], 7.0, atol=1e-3)
+
+
+def test_lk_recovers_translation():
+    shift = (3.7, -2.4)
+    prev = _texture()
+    cur = _texture(shift=shift)
+    p_pyr, p_dx, p_dy = lk.precompute_frame(jnp.asarray(prev), 3)
+    c_pyr, _, _ = lk.precompute_frame(jnp.asarray(cur), 3)
+
+    pts = RNG.uniform([30, 30], [130, 90], (50, 2)).astype(np.float32)
+    out, status = lk.track_pyramidal(p_pyr, c_pyr, p_dx, p_dy,
+                                     jnp.asarray(pts), jnp.ones(50, bool))
+    out, status = np.asarray(out), np.asarray(status)
+    assert status.sum() > 40
+    err = out[status] - (pts[status] + np.asarray(shift))
+    assert np.median(np.linalg.norm(err, axis=-1)) < 0.3, (
+        np.median(np.linalg.norm(err, axis=-1)))
+
+
+def test_lk_large_motion_via_pyramid():
+    shift = (14.0, 9.0)   # larger than the 21px window half-size
+    prev = _texture(h=160, w=200)
+    cur = _texture(h=160, w=200, shift=shift)
+    p_pyr, p_dx, p_dy = lk.precompute_frame(jnp.asarray(prev), 3)
+    c_pyr, _, _ = lk.precompute_frame(jnp.asarray(cur), 3)
+    pts = RNG.uniform([40, 40], [150, 110], (40, 2)).astype(np.float32)
+    out, status = lk.track_pyramidal(p_pyr, c_pyr, p_dx, p_dy,
+                                     jnp.asarray(pts), jnp.ones(40, bool))
+    out, status = np.asarray(out), np.asarray(status)
+    assert status.sum() > 25
+    err = out[status] - (pts[status] + np.asarray(shift))
+    assert np.median(np.linalg.norm(err, axis=-1)) < 0.5
+
+
+def test_lk_flat_region_rejected():
+    prev = np.full((100, 100), 50.0, np.float32)
+    cur = prev.copy()
+    p_pyr, p_dx, p_dy = lk.precompute_frame(jnp.asarray(prev), 3)
+    c_pyr, _, _ = lk.precompute_frame(jnp.asarray(cur), 3)
+    pts = np.array([[50.0, 50.0], [30.0, 70.0]], np.float32)
+    _, status = lk.track_pyramidal(p_pyr, c_pyr, p_dx, p_dy,
+                                   jnp.asarray(pts), jnp.ones(2, bool))
+    assert not np.any(np.asarray(status))
+
+
+def test_equalize_color_preserves_shape():
+    img = jnp.asarray(RNG.uniform(0, 255, (64, 96, 3)).astype(np.float32))
+    out = np.asarray(image_ops.equalize_color_ycrcb(img, 4))
+    assert out.shape == (64, 96, 3)
+    assert out.min() >= 0 and out.max() <= 255
