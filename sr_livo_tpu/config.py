@@ -170,6 +170,7 @@ class ShapeOptions:
     color_voxel_points: int = 20
     color_registry: int = 1 << 20       # global rgb point registry bound
     max_render_points: int = 1 << 15    # points rendered per image
+    max_render_voxels: int = 2048       # recent voxels rendered per image
     # Vision
     lk_pyramid_levels: int = 4
     lk_window: int = 21

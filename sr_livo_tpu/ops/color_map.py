@@ -1,0 +1,298 @@
+"""Colored map: global RGB point registry + 0.1 m color voxel table.
+
+TPU-native re-design of the reference visual map (rgbPoint +
+color_voxel_map + Hash_map_3d dedup + rgb_points_vec registry;
+cloudMap.h/cloudMap.cpp + addPointToColorMap lioOptimization.cpp:448-518
++ rgbMapTracker renderer).  The registry is SoA device arrays addressed
+by integer ids; voxel blocks store registry ids; rendering (Bayesian
+color fusion, cloudMap.cpp:59-100) is one masked scatter program —
+no mutexes, unlike the reference's per-point lock in
+threadRenderPointsInVoxel (rgbMapTracker.cpp:206-212).
+
+Design deviation (documented): the reference appends near-duplicate
+points (dedup-grid hits) into voxel blocks without registering them;
+those copies only consume render time.  Here a point is stored iff it
+claims a new dedup cell AND its block accepts it, so every stored point
+is registered.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sr_livo_tpu.ops import image_ops
+from sr_livo_tpu.ops import voxel_map as vm
+
+# Render constants (rgbMapTracker.cpp:176-177 / cloudMap.cpp:56-57).
+IMAGE_OBS_COV = 15.0
+PROCESS_NOISE_SIGMA = 0.1
+
+
+class ColorMap(NamedTuple):
+    # registry (SoA), capacity R
+    pos: jnp.ndarray            # (R, 3) f32
+    rgb: jnp.ndarray            # (R, 3) f32, 0..255
+    cov_rgb: jnp.ndarray        # (R, 3) f32
+    n_rgb: jnp.ndarray          # (R,) int32
+    obs_dist: jnp.ndarray       # (R,) f32
+    last_obs_time: jnp.ndarray  # (R,) f32
+    img_vel: jnp.ndarray        # (R, 2) f32
+    outlier_count: jnp.ndarray  # (R,) int32
+    reg_valid: jnp.ndarray      # (R,) bool
+    count: jnp.ndarray          # () int32 allocated ids (including holes)
+    # color voxel table (point_ids -> registry ids)
+    vox: vm.VoxelMap
+    vox_last_visit: jnp.ndarray  # (C,) f32
+    # dedup grid: key-only open-addressing set at min_distance resolution
+    dedup_keys: jnp.ndarray      # (D, 3) int32
+
+
+def make_color_map(registry: int, capacity: int, voxel_points: int,
+                   dtype=jnp.float32) -> ColorMap:
+    return ColorMap(
+        pos=jnp.zeros((registry, 3), dtype),
+        rgb=jnp.zeros((registry, 3), dtype),
+        cov_rgb=jnp.zeros((registry, 3), dtype),
+        n_rgb=jnp.zeros((registry,), jnp.int32),
+        obs_dist=jnp.zeros((registry,), dtype),
+        last_obs_time=jnp.zeros((registry,), dtype),
+        img_vel=jnp.zeros((registry, 2), dtype),
+        outlier_count=jnp.zeros((registry,), jnp.int32),
+        reg_valid=jnp.zeros((registry,), bool),
+        count=jnp.int32(0),
+        vox=vm.make_map(capacity, voxel_points, dtype),
+        vox_last_visit=jnp.full((capacity,), -1.0, dtype),
+        dedup_keys=jnp.full((capacity * 2, 3), vm.EMPTY, jnp.int32),
+    )
+
+
+def _claim_dedup(dedup_keys: jnp.ndarray, coords: jnp.ndarray,
+                 valid: jnp.ndarray, max_probe: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Claim cells in the key-only dedup set.  Returns (new_keys, is_new):
+    is_new[i] True iff point i claimed a previously-absent cell (and is the
+    batch winner for it)."""
+    cap = dedup_keys.shape[0]
+    n = coords.shape[0]
+    base = vm.voxel_hash(coords, cap)
+    state = jnp.full((n,), 0, jnp.int32)  # 0 unresolved, 1 new, 2 duplicate
+    keys = dedup_keys
+    for r in range(max_probe):
+        unresolved = (state == 0) & valid
+        cand = (base + r) & (cap - 1)
+        k = keys[cand]
+        dup = jnp.all(k == coords, axis=-1) & unresolved
+        state = jnp.where(dup, 2, state)
+        unresolved = (state == 0) & valid
+        is_empty = (k[..., 0] == vm.EMPTY) & unresolved
+        claim = jnp.full((cap,), n, jnp.int32)
+        claim = claim.at[jnp.where(is_empty, cand, cap)].min(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        winner = is_empty & (claim[cand] == jnp.arange(n, dtype=jnp.int32))
+        keys = keys.at[jnp.where(winner, cand, cap)].set(coords, mode="drop")
+        state = jnp.where(winner, 1, state)
+        # batch losers whose key is now present resolve as duplicates
+        k2 = keys[cand]
+        dup2 = jnp.all(k2 == coords, axis=-1) & (state == 0) & valid
+        state = jnp.where(dup2, 2, state)
+    return keys, state == 1
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "voxel_size", "min_distance", "max_probe"))
+def color_insert(cmap: ColorMap, pts: jnp.ndarray, valid: jnp.ndarray,
+                 obs_time, *, voxel_size: float, min_distance: float,
+                 max_probe: int) -> ColorMap:
+    """Insert sweep points into the colored map (addPointToColorMap
+    semantics, lioOptimization.cpp:448-518) and update the recent-visited
+    voxel timestamps."""
+    registry = cmap.pos.shape[0]
+    n = pts.shape[0]
+
+    dd_coords = vm.voxel_coords(pts, min_distance)
+    dedup_keys, is_new = _claim_dedup(cmap.dedup_keys, dd_coords, valid,
+                                      max_probe)
+
+    # provisional registry ids for dedup winners
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    ids = cmap.count + rank
+    overflow = ids >= registry
+    cand = is_new & ~overflow
+
+    vox_new, accepted = vm.insert(
+        cmap.vox, pts, cand, voxel_size, 0.0, max_probe, point_ids=ids)
+
+    safe_ids = jnp.where(accepted, ids, registry)
+    pos = cmap.pos.at[safe_ids].set(pts, mode="drop")
+    reg_valid = cmap.reg_valid.at[safe_ids].set(True, mode="drop")
+    n_rgb = cmap.n_rgb.at[safe_ids].set(0, mode="drop")
+    count = cmap.count + jnp.sum(cand.astype(jnp.int32))
+
+    # recent-visited tracking: every candidate point's voxel slot
+    coords = vm.voxel_coords(pts, voxel_size)
+    slots = vm.lookup(vox_new, coords, max_probe)
+    ok = valid & (slots >= 0)
+    visit = cmap.vox_last_visit.at[
+        jnp.where(ok, slots, cmap.vox_last_visit.shape[0])].set(
+            jnp.asarray(obs_time, cmap.vox_last_visit.dtype), mode="drop")
+
+    return cmap._replace(pos=pos, reg_valid=reg_valid, n_rgb=n_rgb,
+                         count=count, vox=vox_new, vox_last_visit=visit,
+                         dedup_keys=dedup_keys)
+
+
+def project_points(pts: jnp.ndarray, q_cw: jnp.ndarray, t_cw: jnp.ndarray,
+                   intr: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                               jnp.ndarray]:
+    """World -> pixel projection (project3dTo2d, lioOptimization.cpp:142).
+
+    intr = [fx, fy, cx, cy].  Returns (uv (N, 2), z_ok (N,), pc (N, 3))."""
+    from sr_livo_tpu.utils import lie
+    pc = lie.quat_rotate(jnp.broadcast_to(q_cw, (pts.shape[0], 4)), pts) + t_cw
+    z = pc[..., 2]
+    z_ok = z > 0.001
+    z_safe = jnp.where(z_ok, z, 1.0)
+    u = pc[..., 0] * intr[0] / z_safe + intr[2]
+    v = pc[..., 1] * intr[1] / z_safe + intr[3]
+    return jnp.stack([u, v], axis=-1), z_ok, pc
+
+
+def in_fov(uv: jnp.ndarray, cols: int, rows: int,
+           margin: float) -> jnp.ndarray:
+    """if2dPointsAvailable (lioOptimization.cpp:48-60)."""
+    u, v = uv[..., 0], uv[..., 1]
+    return ((u >= margin * cols + 1) & (u < (1 - margin) * cols - 1)
+            & (v >= margin * rows + 1) & (v < (1 - margin) * rows - 1))
+
+
+def update_rgb(cmap: ColorMap, ids: jnp.ndarray, obs_rgb: jnp.ndarray,
+               obs_dist: jnp.ndarray, obs_time, upd_mask: jnp.ndarray,
+               obs_sigma: float = IMAGE_OBS_COV) -> ColorMap:
+    """Vectorized rgbPoint::updateRgb (cloudMap.cpp:59-100) over unique ids."""
+    registry = cmap.pos.shape[0]
+    safe = jnp.where(upd_mask, ids, registry)
+
+    cur_rgb = cmap.rgb[jnp.clip(ids, 0, registry - 1)]
+    cur_cov = cmap.cov_rgb[jnp.clip(ids, 0, registry - 1)]
+    cur_n = cmap.n_rgb[jnp.clip(ids, 0, registry - 1)]
+    cur_dist = cmap.obs_dist[jnp.clip(ids, 0, registry - 1)]
+    cur_time = cmap.last_obs_time[jnp.clip(ids, 0, registry - 1)]
+
+    obs_time = jnp.asarray(obs_time, cmap.pos.dtype)
+    # occlusion gate (cloudMap.cpp:61-64)
+    gate = (cur_dist == 0) | (obs_dist <= cur_dist * 1.2)
+    mask = upd_mask & gate
+    first = cur_n == 0
+
+    # first observation
+    rgb_first = jnp.round(obs_rgb)
+    cov_first = jnp.full_like(cur_cov, obs_sigma)
+
+    # Bayesian fusion
+    cov_pn = cur_cov + PROCESS_NOISE_SIGMA * jnp.maximum(
+        obs_time - cur_time, 0.0)[..., None]
+    cov_pn = jnp.maximum(cov_pn, 1e-3)
+    new_cov = jnp.sqrt(1.0 / (1.0 / (cov_pn * cov_pn) + 1.0 / (obs_sigma ** 2)))
+    rgb_fused = (new_cov * new_cov
+                 * (cur_rgb / (cov_pn * cov_pn) + obs_rgb / (obs_sigma ** 2)))
+
+    rgb_new = jnp.where(first[..., None], rgb_first, rgb_fused)
+    cov_new = jnp.where(first[..., None], cov_first, new_cov)
+    dist_new = jnp.where(first, obs_dist, jnp.minimum(cur_dist, obs_dist))
+    n_new = cur_n + 1
+
+    sel = jnp.where(mask, safe, registry)
+    rgb = cmap.rgb.at[sel].set(rgb_new, mode="drop")
+    cov = cmap.cov_rgb.at[sel].set(cov_new, mode="drop")
+    n = cmap.n_rgb.at[sel].set(n_new, mode="drop")
+    dist = cmap.obs_dist.at[sel].set(dist_new, mode="drop")
+    t = cmap.last_obs_time.at[sel].set(obs_time, mode="drop")
+    return cmap._replace(rgb=rgb, cov_rgb=cov, n_rgb=n, obs_dist=dist,
+                         last_obs_time=t)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_render_voxels", "cols", "rows"))
+def render_recent(cmap: ColorMap, image: jnp.ndarray, q_cw: jnp.ndarray,
+                  t_cw: jnp.ndarray, t_wc_world: jnp.ndarray,
+                  intr: jnp.ndarray, obs_time, *,
+                  max_render_voxels: int, cols: int, rows: int,
+                  fov_margin: float = 0.005) -> ColorMap:
+    """Color all registry points in recently-visited voxels from `image`
+    (renderPointsInRecentVoxel, rgbMapTracker.cpp:181-237)."""
+    K = cmap.vox.points.shape[1]
+    recent = (cmap.vox_last_visit
+              == jnp.asarray(obs_time, cmap.vox_last_visit.dtype))
+    _, slot_idx = jax.lax.top_k(recent.astype(jnp.float32),
+                                max_render_voxels)
+    slot_ok = recent[slot_idx]
+
+    ids = cmap.vox.point_ids[slot_idx]                      # (V, K)
+    cnt = jnp.where(slot_ok, cmap.vox.counts[slot_idx], 0)
+    id_ok = (jnp.arange(K)[None, :] < cnt[:, None]) & (ids >= 0)
+    ids = ids.reshape(-1)
+    id_ok = id_ok.reshape(-1)
+    registry = cmap.pos.shape[0]
+    ids_c = jnp.clip(ids, 0, registry - 1)
+    id_ok = id_ok & cmap.reg_valid[ids_c]
+
+    pts = cmap.pos[ids_c]
+    uv, z_ok, _pc = project_points(pts, q_cw, t_cw, intr)
+    vis = id_ok & z_ok & in_fov(uv, cols, rows, fov_margin)
+    color = image_ops.bilinear_sample(image, uv)
+    depth = jnp.linalg.norm(pts - t_wc_world[None, :], axis=-1)
+    return update_rgb(cmap, ids_c, color, depth, obs_time, vis)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_render_voxels", "max_out", "cols", "rows", "grid_px"))
+def select_points_for_projection(cmap: ColorMap, q_cw: jnp.ndarray,
+                                 t_cw: jnp.ndarray, t_wc_world: jnp.ndarray,
+                                 intr: jnp.ndarray, obs_time, *,
+                                 max_render_voxels: int, max_out: int,
+                                 cols: int, rows: int, grid_px: int = 10,
+                                 fov_margin: float = 0.005,
+                                 min_depth: float = 0.1,
+                                 max_depth: float = 200.0,
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                            jnp.ndarray]:
+    """Candidate map points for track replenishment
+    (selectPointsForProjection, rgbMapTracker.cpp:45-152): one representative
+    (the newest) point per recent voxel, deduplicated on a `grid_px` image
+    grid keeping the closest-depth point per cell.
+
+    Returns (ids (max_out,), uv (max_out, 2), valid (max_out,))."""
+    recent = (cmap.vox_last_visit
+              == jnp.asarray(obs_time, cmap.vox_last_visit.dtype))
+    _, slot_idx = jax.lax.top_k(recent.astype(jnp.float32), max_render_voxels)
+    slot_ok = recent[slot_idx] & (cmap.vox.counts[slot_idx] > 0)
+    last = jnp.maximum(cmap.vox.counts[slot_idx] - 1, 0)
+    ids = cmap.vox.point_ids[slot_idx, last]                # newest per voxel
+    registry = cmap.pos.shape[0]
+    ids_c = jnp.clip(ids, 0, registry - 1)
+    ok = slot_ok & (ids >= 0) & cmap.reg_valid[ids_c]
+
+    pts = cmap.pos[ids_c]
+    depth = jnp.linalg.norm(pts - t_wc_world[None, :], axis=-1)
+    uv, z_ok, _ = project_points(pts, q_cw, t_cw, intr)
+    ok = (ok & z_ok & in_fov(uv, cols, rows, fov_margin)
+          & (depth > min_depth) & (depth < max_depth))
+
+    # occupancy grid: keep closest depth per cell via scatter-min
+    gx = jnp.round(uv[:, 0] / grid_px).astype(jnp.int32)
+    gy = jnp.round(uv[:, 1] / grid_px).astype(jnp.int32)
+    ncx = cols // grid_px + 2
+    ncy = rows // grid_px + 2
+    cell = jnp.clip(gy, 0, ncy - 1) * ncx + jnp.clip(gx, 0, ncx - 1)
+    grid = jnp.full((ncx * ncy,), jnp.inf, depth.dtype)
+    grid = grid.at[jnp.where(ok, cell, ncx * ncy)].min(depth, mode="drop")
+    winner = ok & (grid[cell] == depth)
+
+    # compact to max_out
+    order = jnp.argsort(~winner, stable=True)[:max_out]
+    out_ok = winner[order]
+    return ids_c[order], uv[order], out_ok

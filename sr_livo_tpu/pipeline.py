@@ -118,8 +118,14 @@ class LivoPipeline:
         self.state = out.state
         self.voxel_map = out.voxel_map
 
-        if self.vision is not None and meas.rendering and meas.image is not None:
-            self.vision.process_frame(self, meas, out)
+        if self.vision is not None:
+            # colored-map leg of addPointsToMap (every sweep,
+            # lioOptimization.cpp:538-539)
+            self.vision.insert_sweep_points(
+                out.frame_pts_world,
+                out.frame_valid & out.summary.success, meas.time_image)
+            if meas.rendering and meas.image is not None:
+                self.vision.process_frame(self, meas, out)
 
         self.records.append(FrameRecord(
             time=meas.time_image,

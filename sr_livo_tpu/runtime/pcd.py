@@ -1,0 +1,45 @@
+"""Colored point-cloud export (rgb_map.pcd).
+
+Equivalent of lioOptimization::saveColorPoints
+(/root/reference/src/lioOptimization.cpp:1386-1426): dumps every registry
+point with at least `minimum_views` color observations
+(map_options.pub_point_minimum_views) as a binary PCD with packed RGB.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def save_color_points(color_map, path: str, minimum_views: int = 3) -> int:
+    """Write rgb_map.pcd; returns the number of points written."""
+    reg_valid = np.asarray(color_map.reg_valid)
+    n_rgb = np.asarray(color_map.n_rgb)
+    sel = reg_valid & (n_rgb >= minimum_views)
+    pos = np.asarray(color_map.pos)[sel].astype(np.float32)
+    rgb = np.clip(np.asarray(color_map.rgb)[sel], 0, 255).astype(np.uint32)
+    n = pos.shape[0]
+
+    packed = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
+    packed_f = packed.view(np.float32) if packed.dtype.itemsize == 4 \
+        else packed.astype(np.uint32).view(np.float32)
+
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        "FIELDS x y z rgb\n"
+        "SIZE 4 4 4 4\n"
+        "TYPE F F F F\n"
+        "COUNT 1 1 1 1\n"
+        f"WIDTH {n}\n"
+        "HEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\n"
+        "DATA binary\n")
+    data = np.concatenate([pos, packed_f[:, None]], axis=1).astype(np.float32)
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(data.tobytes())
+    return n

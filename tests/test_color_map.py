@@ -1,0 +1,137 @@
+"""Tests for the colored map registry / render ops (ops.color_map)."""
+import jax.numpy as jnp
+import numpy as np
+
+from sr_livo_tpu.ops import color_map as cm
+from sr_livo_tpu.utils import lie
+
+RNG = np.random.RandomState(9)
+
+
+def _fresh(reg=4096, cap=1 << 12):
+    return cm.make_color_map(reg, cap, 20)
+
+
+def test_insert_allocates_registry():
+    m = _fresh()
+    pts = jnp.asarray(RNG.uniform(-5, 5, (200, 3)), jnp.float32)
+    m = cm.color_insert(m, pts, jnp.ones(200, bool), 1.0,
+                        voxel_size=0.1, min_distance=0.01, max_probe=16)
+    n = int(jnp.sum(m.reg_valid))
+    assert n > 190  # nearly all distinct at this density
+    assert int(m.count) >= n
+    # registered positions match inputs
+    ids = np.nonzero(np.asarray(m.reg_valid))[0]
+    pos = np.asarray(m.pos[ids])
+    d = np.min(np.linalg.norm(pos[:, None, :] - np.asarray(pts)[None], axis=-1),
+               axis=1)
+    assert d.max() < 1e-5
+
+
+def test_insert_dedup_blocks_duplicates():
+    m = _fresh()
+    pts = jnp.asarray(RNG.uniform(0, 1, (50, 3)), jnp.float32)
+    m = cm.color_insert(m, pts, jnp.ones(50, bool), 1.0,
+                        voxel_size=0.1, min_distance=0.01, max_probe=16)
+    n1 = int(jnp.sum(m.reg_valid))
+    # same points again: nothing new
+    m = cm.color_insert(m, pts + 1e-4, jnp.ones(50, bool), 2.0,
+                        voxel_size=0.1, min_distance=0.01, max_probe=16)
+    n2 = int(jnp.sum(m.reg_valid))
+    assert n2 == n1
+
+
+def test_recent_visit_tracking():
+    m = _fresh()
+    pts = jnp.asarray(RNG.uniform(-2, 2, (100, 3)), jnp.float32)
+    m = cm.color_insert(m, pts, jnp.ones(100, bool), 5.0,
+                        voxel_size=0.1, min_distance=0.01, max_probe=16)
+    n_recent = int(jnp.sum(m.vox_last_visit == 5.0))
+    assert n_recent > 50
+    # next sweep in a different area: old voxels not recent anymore
+    m = cm.color_insert(m, pts + 10.0, jnp.ones(100, bool), 6.0,
+                        voxel_size=0.1, min_distance=0.01, max_probe=16)
+    assert int(jnp.sum(m.vox_last_visit == 6.0)) > 50
+    assert int(jnp.sum(m.vox_last_visit == 5.0)) > 0
+
+
+def test_update_rgb_first_and_fusion():
+    m = _fresh()
+    ids = jnp.asarray([3, 7], jnp.int32)
+    obs = jnp.asarray([[100.0, 150.0, 200.0], [50.0, 60.0, 70.0]])
+    dist = jnp.asarray([5.0, 8.0])
+    mask = jnp.asarray([True, True])
+    m = cm.update_rgb(m, ids, obs, dist, 1.0, mask)
+    assert np.allclose(m.rgb[3], [100, 150, 200])
+    assert np.allclose(m.cov_rgb[3], cm.IMAGE_OBS_COV)
+    assert int(m.n_rgb[3]) == 1
+    assert float(m.obs_dist[7]) == 8.0
+
+    # second observation fuses toward the new color, cov shrinks
+    obs2 = jnp.asarray([[120.0, 150.0, 200.0], [50.0, 60.0, 70.0]])
+    m2 = cm.update_rgb(m, ids, obs2, dist, 1.1, mask)
+    assert 100.0 < float(m2.rgb[3, 0]) < 120.0
+    assert float(m2.cov_rgb[3, 0]) < float(m.cov_rgb[3, 0])
+    assert int(m2.n_rgb[3]) == 2
+
+
+def test_update_rgb_occlusion_gate():
+    m = _fresh()
+    ids = jnp.asarray([0], jnp.int32)
+    m = cm.update_rgb(m, ids, jnp.asarray([[100.0, 100.0, 100.0]]),
+                      jnp.asarray([5.0]), 1.0, jnp.asarray([True]))
+    # far observation (> 1.2x) rejected
+    m2 = cm.update_rgb(m, ids, jnp.asarray([[200.0, 200.0, 200.0]]),
+                       jnp.asarray([7.0]), 2.0, jnp.asarray([True]))
+    assert np.allclose(m2.rgb[0], m.rgb[0])
+    assert int(m2.n_rgb[0]) == 1
+    # nearer observation accepted, obs_dist shrinks
+    m3 = cm.update_rgb(m, ids, jnp.asarray([[200.0, 200.0, 200.0]]),
+                       jnp.asarray([4.0]), 2.0, jnp.asarray([True]))
+    assert int(m3.n_rgb[0]) == 2
+    assert float(m3.obs_dist[0]) == 4.0
+
+
+def test_render_recent_colors_points():
+    m = _fresh()
+    # points on the z=5 plane in front of a camera at origin looking +z
+    xy = RNG.uniform(-1.5, 1.5, (100, 2))
+    pts = np.c_[xy, np.full(100, 5.0)].astype(np.float32)
+    m = cm.color_insert(m, jnp.asarray(pts), jnp.ones(100, bool), 3.0,
+                        voxel_size=0.1, min_distance=0.01, max_probe=16)
+    # camera: identity orientation (camera frame == world frame)
+    intr = jnp.asarray([100.0, 100.0, 80.0, 60.0], jnp.float32)
+    q_cw = lie.quat_identity()
+    t_cw = jnp.zeros(3, jnp.float32)
+    t_wc = jnp.zeros(3, jnp.float32)
+    # image: horizontal gradient
+    us = np.arange(160, dtype=np.float32)
+    img = np.tile(us[None, :, None], (120, 1, 3))
+    m = cm.render_recent(m, jnp.asarray(img), q_cw, t_cw, t_wc, intr, 3.0,
+                         max_render_voxels=256, cols=160, rows=120)
+    ids = np.nonzero(np.asarray(m.reg_valid) & (np.asarray(m.n_rgb) > 0))[0]
+    assert len(ids) > 60
+    # rendered color equals the projected u coordinate
+    pos = np.asarray(m.pos[ids])
+    u = pos[:, 0] * 100.0 / pos[:, 2] + 80.0
+    got = np.asarray(m.rgb[ids, 0])
+    assert np.allclose(got, np.round(u), atol=1.0)
+
+
+def test_select_points_for_projection_grid():
+    m = _fresh()
+    xy = RNG.uniform(-1.5, 1.5, (300, 2))
+    pts = np.c_[xy, np.full(300, 5.0)].astype(np.float32)
+    m = cm.color_insert(m, jnp.asarray(pts), jnp.ones(300, bool), 3.0,
+                        voxel_size=0.1, min_distance=0.01, max_probe=16)
+    intr = jnp.asarray([100.0, 100.0, 80.0, 60.0], jnp.float32)
+    ids, uv, ok = cm.select_points_for_projection(
+        m, lie.quat_identity(), jnp.zeros(3, jnp.float32),
+        jnp.zeros(3, jnp.float32), intr, 3.0,
+        max_render_voxels=512, max_out=256, cols=160, rows=120, grid_px=10)
+    n = int(ok.sum())
+    assert n > 20
+    uv_ok = np.asarray(uv)[np.asarray(ok)]
+    # grid spacing respected: no two candidates in the same 10px cell
+    cells = {(int(round(u / 10)), int(round(v / 10))) for u, v in uv_ok}
+    assert len(cells) == n

@@ -1,0 +1,119 @@
+"""Full LIVO integration: LIO + vision module on rendered synthetic images.
+
+Checks that the vision path is genuinely engaged: LK tracks survive, the
+camera ESIKFs keep parameters sane, and the RGB map converges to the
+world's true texture colors.
+"""
+import numpy as np
+import pytest
+
+from sr_livo_tpu.config import LivoConfig
+from sr_livo_tpu.models.vision import VisionModule
+from sr_livo_tpu.pipeline import LivoPipeline, run_streams
+from sr_livo_tpu.runtime import synthetic, tum
+
+CAM = (130.0, 130.0, 80.0, 60.0)
+SIZE = (120, 160)   # rows, cols
+
+
+def _cfg() -> LivoConfig:
+    cfg = LivoConfig()
+    cfg.odometry_options.voxel_size = 0.2
+    cfg.odometry_options.init_voxel_size = 0.2
+    cfg.odometry_options.sample_voxel_size = 0.8
+    cfg.odometry_options.init_sample_voxel_size = 0.8
+    cfg.odometry_options.min_distance_points = 0.05
+    cfg.icp.size_voxel_map = 0.6
+    cfg.icp.min_number_neighbors = 12
+    cfg.shapes.max_sweep_points = 4096
+    cfg.shapes.max_frame_points = 4096
+    cfg.shapes.max_keypoints = 768
+    cfg.shapes.max_imu_samples = 48
+    cfg.shapes.map_capacity = 1 << 16
+    cfg.shapes.color_capacity = 1 << 16
+    cfg.shapes.color_registry = 1 << 17
+    cfg.shapes.max_render_points = 1 << 13
+    cfg.camera_options.image_width = SIZE[1]
+    cfg.camera_options.image_height = SIZE[0]
+    cfg.camera_options.image_scale = 1.0
+    cfg.camera_options.camera_intrinsic = [
+        CAM[0], 0, CAM[2], 0, CAM[1], CAM[3], 0, 0, 1]
+    cfg.camera_options.camera_dist_coeffs = [0, 0, 0, 0, 0]
+    cfg.map_options.add_point_step = 1
+    cfg.extrinsics.extrinsic_R_imu_camera = [0, 0, 1, -1, 0, 0, 0, -1, 0]
+    cfg.extrinsics.extrinsic_t_imu_camera = [0.0, 0.0, 0.0]
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def livo_run():
+    cfg = _cfg()
+    sim = synthetic.simulate(duration=7.0, n_azimuth=100, n_rings=12,
+                             seed=6, image_size=SIZE, camera=CAM)
+    vision = VisionModule(cfg)
+    pipe = LivoPipeline(cfg, vision=vision)
+    run_streams(pipe, sim)
+    return pipe, vision, sim
+
+
+def test_livo_trajectory(livo_run):
+    pipe, vision, sim = livo_run
+    assert pipe.initialized
+    ts, ps, qs = pipe.trajectory()
+    ate = tum.ate_rmse(ts, ps, sim.gt_times, sim.gt_pos, align=True)
+    assert ate < 0.05, f"LIVO ATE {ate:.3f} m"
+
+
+def test_vision_tracks_maintained(livo_run):
+    pipe, vision, sim = livo_run
+    assert len(vision.stats) > 10
+    # after warm-up, a healthy number of points is tracked each frame
+    tracked = np.array([s[1] for s in vision.stats])
+    assert tracked[5:].mean() > 30, tracked
+    inliers = np.array([s[2] for s in vision.stats])
+    assert inliers[5:].mean() > 20, inliers
+
+
+def test_camera_parameters_stay_calibrated(livo_run):
+    pipe, vision, sim = livo_run
+    intr = np.asarray(vision.camera.intr)
+    assert abs(intr[0] - CAM[0]) < 10.0
+    assert abs(intr[1] - CAM[1]) < 10.0
+    assert abs(float(vision.camera.td)) < 0.05
+    # extrinsic rotation stays near the configured mount
+    from sr_livo_tpu.utils import lie
+    import jax.numpy as jnp
+    r_ic = np.asarray(lie.quat_to_rot(vision.camera.q_ic))
+    r_cfg = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
+    ang = np.degrees(np.arccos(np.clip(
+        (np.trace(r_ic @ r_cfg.T) - 1) / 2, -1, 1)))
+    assert ang < 5.0, ang
+
+
+def test_rgb_map_matches_world_texture(livo_run):
+    pipe, vision, sim = livo_run
+    cmapst = vision.color_map
+    reg_valid = np.asarray(cmapst.reg_valid)
+    n_rgb = np.asarray(cmapst.n_rgb)
+    colored = reg_valid & (n_rgb >= 3)
+    assert colored.sum() > 500, colored.sum()
+    pos = np.asarray(cmapst.pos)[colored]
+    got = np.asarray(cmapst.rgb)[colored] / 255.0
+    world = synthetic.SyntheticWorld()
+    want = world.color(pos)
+    err = np.abs(got - want)
+    # CLAHE shifts intensities, so allow a global affine slack per channel:
+    # compare after median shift
+    err_c = np.abs(err - np.median(err, axis=0, keepdims=True))
+    assert np.median(err_c) < 0.15, np.median(err_c)
+
+
+def test_colored_pcd_export(livo_run, tmp_path):
+    pipe, vision, sim = livo_run
+    from sr_livo_tpu.runtime.pcd import save_color_points
+    path = str(tmp_path / "rgb_map.pcd")
+    n = save_color_points(vision.color_map, path, minimum_views=3)
+    assert n > 500
+    with open(path, "rb") as f:
+        head = f.read(200).decode("ascii", errors="ignore")
+    assert "POINTS" in head and "rgb" in head
