@@ -1,0 +1,448 @@
+// livo_native: native ingest runtime for the TPU LIVO engine.
+//
+// C++ replacements for the reference's ROS-side ingest machinery
+// (cloudProcessing.cpp point decoding / driver processing and the rosbag
+// transport feeding it): a minimal ROS1 bag-v2.0 reader (none/bz2/lz4
+// chunk compression via dlopen'd system libs) and vectorized point-cloud
+// field decoders + per-vendor stream filters.  Exposed through a C ABI
+// consumed by ctypes (sr_livo_tpu/runtime/native.py).
+//
+// Build: g++ -O3 -shared -fPIC -o liblivo_native.so livo_native.cpp -ldl
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <dlfcn.h>
+#include <map>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Point decoding: PointCloud2 payload -> packed [x, y, z, t_rel_ms] floats
+// ---------------------------------------------------------------------------
+
+// t_dtype: 0 = absent, 1 = float32, 2 = float64, 3 = uint32
+// Returns number of points written.
+int livo_decode_xyzt(const uint8_t* data, long n_points, long point_step,
+                     long off_x, long off_y, long off_z, long off_t,
+                     int t_dtype, double time_unit_scale, float* out_xyzt) {
+    for (long i = 0; i < n_points; i++) {
+        const uint8_t* p = data + i * point_step;
+        float x, y, z;
+        memcpy(&x, p + off_x, 4);
+        memcpy(&y, p + off_y, 4);
+        memcpy(&z, p + off_z, 4);
+        double t = 0.0;
+        if (t_dtype == 1) {
+            float tf; memcpy(&tf, p + off_t, 4); t = tf;
+        } else if (t_dtype == 2) {
+            double td; memcpy(&td, p + off_t, 8); t = td;
+        } else if (t_dtype == 3) {
+            uint32_t tu; memcpy(&tu, p + off_t, 4); t = (double)tu;
+        }
+        out_xyzt[i * 4 + 0] = x;
+        out_xyzt[i * 4 + 1] = y;
+        out_xyzt[i * 4 + 2] = z;
+        out_xyzt[i * 4 + 3] = (float)(t * time_unit_scale);  // milliseconds
+    }
+    return (int)n_points;
+}
+
+// Decode u8/u16 ring field.
+int livo_decode_ring(const uint8_t* data, long n_points, long point_step,
+                     long off_ring, int ring_dtype /*1=u8,2=u16*/,
+                     int32_t* out_ring) {
+    for (long i = 0; i < n_points; i++) {
+        const uint8_t* p = data + i * point_step + off_ring;
+        out_ring[i] = ring_dtype == 1 ? (int32_t)(*p)
+                                      : (int32_t)(*(const uint16_t*)p);
+    }
+    return (int)n_points;
+}
+
+// Spinning-LiDAR stream processing (ousterHandler/velodyneHandler/
+// robosenseHandler, cloudProcessing.cpp:216-541): optional ring-based time
+// synthesis when no per-point time, time sort, decimation, blind filter,
+// monotonic last_end_time gate.  xyzt: (n, 4) with t in ms relative to
+// header stamp; header_time seconds.  Returns count written to out (n, 4)
+// with ABSOLUTE timestamps in seconds; *inout_last_end_time updated.
+int livo_process_spinning(const float* xyzt, const int32_t* ring,
+                          long n, int n_scans, int scan_rate,
+                          int point_filter_num, double blind,
+                          double header_time, int given_offset_time,
+                          double* inout_last_end_time, double* out_xyzt) {
+    std::vector<double> t_rel(n);
+    if (!given_offset_time) {
+        // yaw-based per-ring time synthesis (cloudProcessing.cpp:260-287)
+        double omega = 0.361 * scan_rate;  // deg per ms
+        std::vector<bool> is_first(n_scans, true);
+        std::vector<double> yaw_first(n_scans, 0.0);
+        for (long i = 0; i < n; i++) {
+            int layer = ring ? ring[i] : 0;
+            if (layer < 0 || layer >= n_scans) { t_rel[i] = 0.0; continue; }
+            double yaw = atan2(xyzt[i * 4 + 1], xyzt[i * 4 + 0]) * 57.2957;
+            if (is_first[layer]) {
+                yaw_first[layer] = yaw;
+                is_first[layer] = false;
+                t_rel[i] = 0.0;
+            } else if (yaw <= yaw_first[layer]) {
+                t_rel[i] = (yaw_first[layer] - yaw) / omega;
+            } else {
+                t_rel[i] = (yaw_first[layer] - yaw + 360.0) / omega;
+            }
+        }
+    } else {
+        for (long i = 0; i < n; i++) t_rel[i] = xyzt[i * 4 + 3];
+    }
+
+    std::vector<long> order(n);
+    for (long i = 0; i < n; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](long a, long b) { return t_rel[a] < t_rel[b]; });
+
+    double dt_last = n ? t_rel[order[n - 1]] : 0.0;
+    double last_end = *inout_last_end_time;
+    long m = 0;
+    for (long k = 0; k < n; k++) {
+        long i = order[k];
+        if (point_filter_num > 1 && (k % point_filter_num) != 0) continue;
+        double x = xyzt[i * 4 + 0], y = xyzt[i * 4 + 1], z = xyzt[i * 4 + 2];
+        if (x * x + y * y + z * z <= blind * blind) continue;
+        double ts = header_time + t_rel[i] / 1000.0;
+        if (ts <= last_end) continue;
+        out_xyzt[m * 4 + 0] = x;
+        out_xyzt[m * 4 + 1] = y;
+        out_xyzt[m * 4 + 2] = z;
+        out_xyzt[m * 4 + 3] = ts;
+        m++;
+    }
+    *inout_last_end_time = header_time + dt_last / 1000.0;
+    return (int)m;
+}
+
+// Livox CustomMsg stream filter (livoxHandler, cloudProcessing.cpp:125-214):
+// per-point records [x f32, y f32, z f32, reflectivity u8, tag u8, line u8,
+// offset_time u32(ns)] packed as given by the caller.  Applies the r3live
+// validity/tag/duplicate filters, time sort, decimation, blind filter.
+int livo_process_livox(const float* xyz, const uint8_t* tag,
+                       const uint8_t* line, const uint32_t* offset_ns,
+                       long n, int n_scans, int point_filter_num,
+                       double blind, double header_time,
+                       double* inout_last_end_time, double* out_xyzt) {
+    struct P { float x, y, z; double t_ms; };
+    std::vector<P> pts;
+    pts.reserve(n);
+    for (long i = 1; i < n; i++) {
+        float x = xyz[i * 3], y = xyz[i * 3 + 1], z = xyz[i * 3 + 2];
+        if (line[i] >= n_scans) continue;
+        if (fabsf(x) > 1e8f || fabsf(y) > 1e8f || fabsf(z) > 1e8f) continue;
+        if (!(x > 0.7f)) continue;
+        if (x > 2.0f && (((tag[i] & 0x03) != 0x00) || ((tag[i] & 0x0C) != 0x00)))
+            continue;
+        // duplicate-point rejection vs predecessor
+        if (fabsf(x - xyz[(i - 1) * 3]) <= 1e-7f &&
+            fabsf(y - xyz[(i - 1) * 3 + 1]) <= 1e-7f &&
+            fabsf(z - xyz[(i - 1) * 3 + 2]) <= 1e-7f)
+            continue;
+        pts.push_back({x, y, z, offset_ns[i] * 1e-6});
+    }
+    std::stable_sort(pts.begin(), pts.end(),
+                     [](const P& a, const P& b) { return a.t_ms < b.t_ms; });
+    double dt_last = pts.empty() ? 0.0 : pts.back().t_ms;
+    long m = 0;
+    long num_valid = 0;
+    for (size_t i = 0; i < pts.size(); i++) {
+        num_valid++;
+        if (point_filter_num > 1 && (num_valid % point_filter_num) != 0)
+            continue;
+        const P& p = pts[i];
+        if ((double)p.x * p.x + (double)p.y * p.y + (double)p.z * p.z
+            <= blind * blind)
+            continue;
+        out_xyzt[m * 4 + 0] = p.x;
+        out_xyzt[m * 4 + 1] = p.y;
+        out_xyzt[m * 4 + 2] = p.z;
+        out_xyzt[m * 4 + 3] = header_time + p.t_ms / 1000.0;
+        m++;
+    }
+    *inout_last_end_time = header_time + dt_last / 1000.0;
+    return (int)m;
+}
+
+}  // extern "C" (point decoders)
+
+// ---------------------------------------------------------------------------
+// Minimal ROS1 bag v2.0 reader (record/chunk framing; none|bz2|lz4)
+// ---------------------------------------------------------------------------
+
+typedef int (*bz2_decomp_fn)(char*, unsigned*, char*, unsigned, int, int);
+typedef int (*lz4_decomp_fn)(const char*, char*, int, int);
+
+static bz2_decomp_fn load_bz2() {
+    static bz2_decomp_fn fn = nullptr;
+    static bool tried = false;
+    if (!tried) {
+        tried = true;
+        void* h = dlopen("libbz2.so.1.0", RTLD_NOW);
+        if (!h) h = dlopen("libbz2.so.1", RTLD_NOW);
+        if (h) fn = (bz2_decomp_fn)dlsym(h, "BZ2_bzBuffToBuffDecompress");
+    }
+    return fn;
+}
+
+static lz4_decomp_fn load_lz4() {
+    static lz4_decomp_fn fn = nullptr;
+    static bool tried = false;
+    if (!tried) {
+        tried = true;
+        void* h = dlopen("liblz4.so.1", RTLD_NOW);
+        if (h) fn = (lz4_decomp_fn)dlsym(h, "LZ4_decompress_safe");
+    }
+    return fn;
+}
+
+struct BagMessage {
+    int32_t conn;
+    double time;
+    std::vector<uint8_t> data;
+};
+
+struct BagHandle {
+    FILE* f = nullptr;
+    std::map<int32_t, std::string> topics;
+    std::map<int32_t, std::string> types;
+    std::vector<BagMessage> pending;  // messages from the current chunk
+    size_t pending_idx = 0;
+    std::string error;
+};
+
+struct Record {
+    std::map<std::string, std::vector<uint8_t>> header;
+    std::vector<uint8_t> data;
+    bool ok = false;
+};
+
+static bool read_exact(FILE* f, void* buf, size_t n) {
+    return fread(buf, 1, n, f) == n;
+}
+
+static bool parse_header(const uint8_t* buf, size_t len,
+                         std::map<std::string, std::vector<uint8_t>>& out) {
+    size_t pos = 0;
+    while (pos + 4 <= len) {
+        uint32_t flen;
+        memcpy(&flen, buf + pos, 4);
+        pos += 4;
+        if (pos + flen > len) return false;
+        const uint8_t* field = buf + pos;
+        const uint8_t* eq = (const uint8_t*)memchr(field, '=', flen);
+        if (!eq) return false;
+        std::string name((const char*)field, eq - field);
+        out[name] = std::vector<uint8_t>(eq + 1, field + flen);
+        pos += flen;
+    }
+    return pos == len;
+}
+
+static Record read_record(FILE* f) {
+    Record r;
+    uint32_t hlen;
+    if (!read_exact(f, &hlen, 4)) return r;
+    std::vector<uint8_t> hbuf(hlen);
+    if (!read_exact(f, hbuf.data(), hlen)) return r;
+    if (!parse_header(hbuf.data(), hlen, r.header)) return r;
+    uint32_t dlen;
+    if (!read_exact(f, &dlen, 4)) return r;
+    r.data.resize(dlen);
+    if (dlen && !read_exact(f, r.data.data(), dlen)) return r;
+    r.ok = true;
+    return r;
+}
+
+static Record read_record_mem(const uint8_t* buf, size_t len, size_t* pos) {
+    Record r;
+    if (*pos + 4 > len) return r;
+    uint32_t hlen;
+    memcpy(&hlen, buf + *pos, 4);
+    *pos += 4;
+    if (*pos + hlen > len) return r;
+    if (!parse_header(buf + *pos, hlen, r.header)) return r;
+    *pos += hlen;
+    if (*pos + 4 > len) return r;
+    uint32_t dlen;
+    memcpy(&dlen, buf + *pos, 4);
+    *pos += 4;
+    if (*pos + dlen > len) return r;
+    r.data.assign(buf + *pos, buf + *pos + dlen);
+    *pos += dlen;
+    r.ok = true;
+    return r;
+}
+
+static uint8_t header_op(const Record& r) {
+    auto it = r.header.find("op");
+    if (it == r.header.end() || it->second.empty()) return 0xFF;
+    return it->second[0];
+}
+
+template <typename T>
+static T header_num(const Record& r, const char* name, T fallback = T()) {
+    auto it = r.header.find(name);
+    if (it == r.header.end() || it->second.size() < sizeof(T)) return fallback;
+    T v;
+    memcpy(&v, it->second.data(), sizeof(T));
+    return v;
+}
+
+static void process_embedded(BagHandle* h, const uint8_t* buf, size_t len) {
+    size_t pos = 0;
+    while (pos < len) {
+        Record r = read_record_mem(buf, len, &pos);
+        if (!r.ok) break;
+        uint8_t op = header_op(r);
+        if (op == 0x07) {  // connection
+            int32_t conn = header_num<int32_t>(r, "conn", -1);
+            auto t = r.header.find("topic");
+            if (t != r.header.end())
+                h->topics[conn] = std::string(t->second.begin(),
+                                              t->second.end());
+            std::map<std::string, std::vector<uint8_t>> chdr;
+            if (parse_header(r.data.data(), r.data.size(), chdr)) {
+                auto ty = chdr.find("type");
+                if (ty != chdr.end())
+                    h->types[conn] = std::string(ty->second.begin(),
+                                                 ty->second.end());
+            }
+        } else if (op == 0x02) {  // message data
+            BagMessage m;
+            m.conn = header_num<int32_t>(r, "conn", -1);
+            uint64_t t = header_num<uint64_t>(r, "time", 0);
+            uint32_t sec = (uint32_t)(t & 0xFFFFFFFFu);
+            uint32_t nsec = (uint32_t)(t >> 32);
+            m.time = (double)sec + (double)nsec * 1e-9;
+            m.data = std::move(r.data);
+            h->pending.push_back(std::move(m));
+        }
+    }
+}
+
+extern "C" {
+
+void* livo_bag_open(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return nullptr;
+    char line[64];
+    if (!fgets(line, sizeof(line), f) ||
+        strncmp(line, "#ROSBAG V2.0", 12) != 0) {
+        fclose(f);
+        return nullptr;
+    }
+    BagHandle* h = new BagHandle();
+    h->f = f;
+    return h;
+}
+
+// Pulls the next message.  Returns 1 on success, 0 on EOF, -1 on error.
+int livo_bag_next(void* handle, int32_t* out_conn, double* out_time,
+                  const uint8_t** out_data, long* out_len) {
+    BagHandle* h = (BagHandle*)handle;
+    while (true) {
+        if (h->pending_idx < h->pending.size()) {
+            BagMessage& m = h->pending[h->pending_idx++];
+            *out_conn = m.conn;
+            *out_time = m.time;
+            *out_data = m.data.data();
+            *out_len = (long)m.data.size();
+            return 1;
+        }
+        h->pending.clear();
+        h->pending_idx = 0;
+        Record r = read_record(h->f);
+        if (!r.ok) return feof(h->f) ? 0 : -1;
+        uint8_t op = header_op(r);
+        if (op == 0x07 || op == 0x02) {
+            // unchunked connection/message at top level
+            if (op == 0x07) {
+                int32_t conn = header_num<int32_t>(r, "conn", -1);
+                auto t = r.header.find("topic");
+                if (t != r.header.end())
+                    h->topics[conn] = std::string(t->second.begin(),
+                                                  t->second.end());
+                std::map<std::string, std::vector<uint8_t>> chdr;
+                if (parse_header(r.data.data(), r.data.size(), chdr)) {
+                    auto ty = chdr.find("type");
+                    if (ty != chdr.end())
+                        h->types[conn] = std::string(ty->second.begin(),
+                                                     ty->second.end());
+                }
+            } else {
+                BagMessage m;
+                m.conn = header_num<int32_t>(r, "conn", -1);
+                uint64_t t = header_num<uint64_t>(r, "time", 0);
+                m.time = (double)(uint32_t)(t & 0xFFFFFFFFu)
+                         + (double)(uint32_t)(t >> 32) * 1e-9;
+                m.data = std::move(r.data);
+                h->pending.push_back(std::move(m));
+            }
+        } else if (op == 0x05) {  // chunk
+            std::string comp = "none";
+            auto c = r.header.find("compression");
+            if (c != r.header.end())
+                comp = std::string(c->second.begin(), c->second.end());
+            uint32_t raw_size = header_num<uint32_t>(r, "size",
+                                                     (uint32_t)r.data.size());
+            if (comp == "none") {
+                process_embedded(h, r.data.data(), r.data.size());
+            } else if (comp == "bz2") {
+                bz2_decomp_fn fn = load_bz2();
+                if (!fn) { h->error = "libbz2 unavailable"; return -1; }
+                std::vector<uint8_t> out(raw_size);
+                unsigned dest_len = raw_size;
+                int rc = fn((char*)out.data(), &dest_len, (char*)r.data.data(),
+                            (unsigned)r.data.size(), 0, 0);
+                if (rc != 0) { h->error = "bz2 decompress failed"; return -1; }
+                process_embedded(h, out.data(), dest_len);
+            } else if (comp == "lz4") {
+                lz4_decomp_fn fn = load_lz4();
+                if (!fn) { h->error = "liblz4 unavailable"; return -1; }
+                std::vector<uint8_t> out(raw_size);
+                int rc = fn((const char*)r.data.data(), (char*)out.data(),
+                            (int)r.data.size(), (int)raw_size);
+                if (rc < 0) { h->error = "lz4 decompress failed"; return -1; }
+                process_embedded(h, out.data(), (size_t)rc);
+            } else {
+                h->error = "unknown compression: " + comp;
+                return -1;
+            }
+        }
+        // other ops (index/chunk-info/bag-header) skipped
+    }
+}
+
+const char* livo_bag_topic(void* handle, int32_t conn) {
+    BagHandle* h = (BagHandle*)handle;
+    auto it = h->topics.find(conn);
+    return it == h->topics.end() ? "" : it->second.c_str();
+}
+
+const char* livo_bag_type(void* handle, int32_t conn) {
+    BagHandle* h = (BagHandle*)handle;
+    auto it = h->types.find(conn);
+    return it == h->types.end() ? "" : it->second.c_str();
+}
+
+const char* livo_bag_error(void* handle) {
+    return ((BagHandle*)handle)->error.c_str();
+}
+
+void livo_bag_close(void* handle) {
+    BagHandle* h = (BagHandle*)handle;
+    if (h->f) fclose(h->f);
+    delete h;
+}
+
+}  // extern "C"

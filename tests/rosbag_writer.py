@@ -1,0 +1,173 @@
+"""Minimal ROS1 bag v2.0 writer — test fixture for the native reader.
+
+Writes structurally-valid bags (bag header record + chunks containing
+connection + message-data records) with optional bz2/lz4 chunk
+compression, plus serializers for the message types the engine ingests.
+"""
+
+from __future__ import annotations
+
+import bz2
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _header(fields: dict) -> bytes:
+    out = b""
+    for k, v in fields.items():
+        if isinstance(v, int):
+            v = struct.pack("<i", v) if k in ("conn",) else struct.pack("<I", v)
+        elif isinstance(v, str):
+            v = v.encode()
+        field = k.encode() + b"=" + v
+        out += struct.pack("<I", len(field)) + field
+    return out
+
+
+def _record(fields: dict, data: bytes) -> bytes:
+    h = _header(fields)
+    return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
+
+
+def _op(code: int) -> bytes:
+    return struct.pack("<B", code)
+
+
+def ros_time(t: float) -> bytes:
+    sec = int(t)
+    nsec = int(round((t - sec) * 1e9))
+    return struct.pack("<II", sec, nsec)
+
+
+class BagWriter:
+    def __init__(self, path: str, compression: str = "none"):
+        self.path = path
+        self.compression = compression
+        self.connections = {}     # topic -> (conn_id, type, conn_record)
+        self.messages = []        # (conn_id, time, payload)
+
+    def add_connection(self, topic: str, msg_type: str) -> int:
+        if topic in self.connections:
+            return self.connections[topic][0]
+        cid = len(self.connections)
+        conn_header = _header({"topic": topic, "type": msg_type,
+                               "md5sum": "0" * 32,
+                               "message_definition": ""})
+        rec = _record({"op": _op(0x07), "conn": cid, "topic": topic},
+                      conn_header)
+        self.connections[topic] = (cid, msg_type, rec)
+        return cid
+
+    def write_message(self, topic: str, msg_type: str, t: float,
+                      payload: bytes):
+        cid = self.add_connection(topic, msg_type)
+        self.messages.append((cid, t, payload))
+
+    def close(self):
+        chunk = b""
+        for (_cid, _t, rec) in [(c[0], 0, c[2])
+                                for c in self.connections.values()]:
+            chunk += rec
+        for (cid, t, payload) in self.messages:
+            sec = int(t)
+            nsec = int(round((t - sec) * 1e9))
+            time64 = struct.pack("<Q", (nsec << 32) | sec)
+            chunk += _record({"op": _op(0x02), "conn": cid, "time": time64},
+                             payload)
+
+        if self.compression == "bz2":
+            comp_data = bz2.compress(chunk)
+        elif self.compression == "none":
+            comp_data = chunk
+        else:
+            raise ValueError(self.compression)
+
+        with open(self.path, "wb") as f:
+            f.write(b"#ROSBAG V2.0\n")
+            # bag header record (op 0x03), padded like real bags
+            bh = _record({"op": _op(0x03),
+                          "index_pos": struct.pack("<Q", 0),
+                          "conn_count": len(self.connections),
+                          "chunk_count": 1},
+                         b" " * 4096)
+            f.write(bh)
+            f.write(_record({"op": _op(0x05), "compression": self.compression,
+                             "size": len(chunk)}, comp_data))
+
+
+# ---- message serializers (inverse of runtime.drivers parsers) ----------
+
+def ser_header(stamp: float, frame_id: str = "f") -> bytes:
+    sec = int(stamp)
+    nsec = int(round((stamp - sec) * 1e9))
+    fid = frame_id.encode()
+    return struct.pack("<III", 0, sec, nsec) + struct.pack("<I", len(fid)) + fid
+
+
+def ser_imu(stamp: float, acc, gyr) -> bytes:
+    out = ser_header(stamp)
+    out += struct.pack("<4d", 0, 0, 0, 1) + struct.pack("<9d", *([0] * 9))
+    out += struct.pack("<3d", *gyr) + struct.pack("<9d", *([0] * 9))
+    out += struct.pack("<3d", *acc) + struct.pack("<9d", *([0] * 9))
+    return out
+
+
+def ser_pointcloud2_velodyne(stamp: float, xyz: np.ndarray,
+                             time_s: np.ndarray, ring: np.ndarray) -> bytes:
+    """velodyne_ros::Point layout: x, y, z, intensity f32 @0,4,8,12;
+    ring u16 @16; time f32 @18 (packed)."""
+    n = xyz.shape[0]
+    step = 22
+    data = np.zeros((n, step), np.uint8)
+    data[:, 0:12] = xyz.astype(np.float32).view(np.uint8).reshape(n, 12)
+    data[:, 12:16] = np.zeros((n, 4), np.uint8)
+    data[:, 16:18] = ring.astype(np.uint16).view(np.uint8).reshape(n, 2)
+    data[:, 18:22] = time_s.astype(np.float32).view(np.uint8).reshape(n, 4)
+    payload = data.tobytes()
+
+    out = ser_header(stamp)
+    out += struct.pack("<II", 1, n)
+    fields = [("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+              ("intensity", 12, 7, 1), ("ring", 16, 4, 1), ("time", 18, 7, 1)]
+    out += struct.pack("<I", len(fields))
+    for (name, off, dt, cnt) in fields:
+        nm = name.encode()
+        out += struct.pack("<I", len(nm)) + nm
+        out += struct.pack("<IBI", off, dt, cnt)
+    out += struct.pack("<B", 0)
+    out += struct.pack("<II", step, step * n)
+    out += struct.pack("<I", len(payload)) + payload
+    out += struct.pack("<B", 1)
+    return out
+
+
+def ser_livox_custom(stamp: float, xyz: np.ndarray, tag: np.ndarray,
+                     line: np.ndarray, offset_ns: np.ndarray) -> bytes:
+    n = xyz.shape[0]
+    out = ser_header(stamp)
+    out += struct.pack("<Q", int(stamp * 1e9))
+    out += struct.pack("<I", n)
+    out += struct.pack("<B", 0) + b"\x00" * 3
+    out += struct.pack("<I", n)
+    rec = np.zeros((n, 19), np.uint8)
+    rec[:, 0:4] = offset_ns.astype(np.uint32).view(np.uint8).reshape(n, 4)
+    rec[:, 4:16] = xyz.astype(np.float32).view(np.uint8).reshape(n, 12)
+    rec[:, 16] = 100
+    rec[:, 17] = tag
+    rec[:, 18] = line
+    return out + rec.tobytes()
+
+
+def ser_image_rgb8(stamp: float, img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    out = ser_header(stamp)
+    out += struct.pack("<II", h, w)
+    enc = b"rgb8"
+    out += struct.pack("<I", len(enc)) + enc
+    out += struct.pack("<B", 0)
+    out += struct.pack("<I", w * 3)
+    payload = img.astype(np.uint8).tobytes()
+    out += struct.pack("<I", len(payload)) + payload
+    return out

@@ -1,0 +1,191 @@
+"""Tests for the native ingest layer: bag reader, decoders, drivers."""
+import numpy as np
+import pytest
+
+from sr_livo_tpu.config import (LIDAR_LIVOX, LIDAR_VELODYNE, LivoConfig)
+from sr_livo_tpu.runtime import drivers, native
+from tests import rosbag_writer as rbw
+
+RNG = np.random.RandomState(21)
+
+
+def test_native_library_builds():
+    lib = native.get_lib()
+    assert lib is not None, "g++ build of native/livo_native.cpp failed"
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_bag_roundtrip(tmp_path, compression):
+    path = str(tmp_path / f"test_{compression}.bag")
+    w = rbw.BagWriter(path, compression=compression)
+    acc = np.array([0.1, 0.2, 9.8])
+    gyr = np.array([0.01, -0.02, 0.03])
+    w.write_message("/imu", "sensor_msgs/Imu", 10.0,
+                    rbw.ser_imu(10.0, acc, gyr))
+    img = RNG.randint(0, 255, (8, 12, 3)).astype(np.uint8)
+    w.write_message("/cam", "sensor_msgs/Image", 10.01,
+                    rbw.ser_image_rgb8(10.01, img))
+    w.close()
+
+    msgs = list(native.BagReader(path))
+    assert len(msgs) == 2
+    (t0, ty0, time0, p0), (t1, ty1, time1, p1) = msgs
+    assert t0 == "/imu" and ty0 == "sensor_msgs/Imu"
+    assert abs(time0 - 10.0) < 1e-6
+    stamp, acc_r, gyr_r = drivers.parse_imu(p0)
+    assert abs(stamp - 10.0) < 1e-6
+    assert np.allclose(acc_r, acc)
+    assert np.allclose(gyr_r, gyr)
+
+    assert t1 == "/cam"
+    stamp_i, img_r = drivers.parse_image(p1)
+    assert np.array_equal(img_r, img)
+
+
+def test_pointcloud2_parse_and_velodyne_driver():
+    n = 64
+    xyz = RNG.uniform(-10, 10, (n, 3)).astype(np.float32)
+    # make some points inside the blind radius
+    xyz[:5] *= 0.001
+    time_s = np.linspace(0, 0.095, n).astype(np.float32)
+    ring = (np.arange(n) % 16).astype(np.uint16)
+    payload = rbw.ser_pointcloud2_velodyne(100.0, xyz, time_s, ring)
+    pc = drivers.parse_pointcloud2(payload)
+    assert pc.width == n and pc.point_step == 22
+    assert set(pc.fields) == {"x", "y", "z", "intensity", "ring", "time"}
+
+    cfg = LivoConfig()
+    cfg.lidar_options.lidar_type = LIDAR_VELODYNE
+    cfg.lidar_options.n_scans = 16
+    cfg.lidar_options.time_unit = 0   # velodyne 'time' in seconds
+    cfg.lidar_options.blind = 0.5
+    cfg.lidar_options.point_filter_num = 1
+    cp = drivers.CloudProcessing(cfg)
+    out = cp.process_cloud(pc)
+    # blind-filtered, absolute times, sorted
+    assert out.shape[0] == n - 5
+    assert np.all(np.diff(out[:, 3]) >= 0)
+    assert abs(out[0, 3] - 100.0) < 0.2
+    assert np.all(np.linalg.norm(out[:, :3], axis=-1) > 0.5)
+    # monotonic gate: replaying an older message yields nothing new
+    out2 = cp.process_cloud(pc)
+    assert out2.shape[0] == 0
+
+
+def test_velodyne_ring_time_synthesis():
+    """No per-point time -> yaw-based synthesis (cloudProcessing.cpp:260)."""
+    n_az, n_rings = 90, 4
+    az = np.linspace(0, 2 * np.pi * 0.9, n_az)
+    dirs = np.stack([np.cos(az), np.sin(az)], axis=-1)
+    xyz = np.concatenate([
+        np.c_[5 * dirs, np.full(n_az, ring * 0.1)]
+        for ring in range(n_rings)]).astype(np.float32)
+    ring = np.concatenate([np.full(n_az, r) for r in range(n_rings)])
+    time_s = np.zeros(n_az * n_rings, np.float32)   # absent
+    payload = rbw.ser_pointcloud2_velodyne(50.0, xyz, time_s,
+                                           ring.astype(np.uint16))
+    pc = drivers.parse_pointcloud2(payload)
+    cfg = LivoConfig()
+    cfg.lidar_options.lidar_type = LIDAR_VELODYNE
+    cfg.lidar_options.n_scans = n_rings
+    cfg.lidar_options.scan_rate = 10
+    cfg.lidar_options.blind = 0.5
+    cfg.lidar_options.point_filter_num = 1
+    cp = drivers.CloudProcessing(cfg)
+    out = cp.process_cloud(pc)
+    assert out.shape[0] > 300
+    spread = out[:, 3].max() - out[:, 3].min()
+    # a 0.9-turn sweep at 10 Hz covers ~0.09 s
+    assert 0.05 < spread < 0.12, spread
+
+
+def test_livox_driver_filters():
+    n = 200
+    xyz = np.c_[RNG.uniform(1.0, 20.0, n), RNG.uniform(-5, 5, n),
+                RNG.uniform(-2, 2, n)].astype(np.float32)
+    tag = np.zeros(n, np.uint8)
+    line = (np.arange(n) % 6).astype(np.uint8)
+    offset_ns = (np.linspace(0, 99e6, n)).astype(np.uint32)
+    # inject defects
+    xyz[10, 0] = 0.3            # too close in x
+    tag[20] = 0x01              # bad tag (x > 2)
+    xyz[30] = xyz[29]           # duplicate
+    line[40] = 50               # bad line
+    payload = rbw.ser_livox_custom(77.0, xyz, tag, line, offset_ns)
+    msg = drivers.parse_livox_custom(payload)
+    assert msg.xyz.shape == (n, 3)
+    assert np.allclose(msg.xyz, xyz)
+
+    cfg = LivoConfig()
+    cfg.lidar_options.lidar_type = LIDAR_LIVOX
+    cfg.lidar_options.n_scans = 6
+    cfg.lidar_options.blind = 0.1
+    cfg.lidar_options.point_filter_num = 1
+    cp = drivers.CloudProcessing(cfg)
+    out = cp.process_livox(msg)
+    # index 0 skipped (loop starts at 1) + 4 defects
+    assert out.shape[0] == n - 5
+    assert np.all(np.diff(out[:, 3]) >= 0)
+    assert abs(out[0, 3] - 77.0) < 0.2
+
+
+def test_decimation():
+    n = 100
+    xyz = np.c_[np.full(n, 5.0), np.zeros(n), np.zeros(n)].astype(np.float32)
+    xyzt = np.c_[xyz, np.linspace(0, 99, n)].astype(np.float32)
+    out, _ = native.process_spinning(xyzt, None, 1, 10, 4, 0.1, 0.0, True,
+                                     -1.0)
+    assert out.shape[0] == 25
+
+
+def test_bag_replay_end_to_end(tmp_path):
+    """Write a synthetic LIO bag, replay through the full pipeline."""
+    from sr_livo_tpu.pipeline import LivoPipeline
+    from sr_livo_tpu.runtime import synthetic, tum
+
+    sim = synthetic.simulate(duration=6.0, n_azimuth=80, n_rings=8, seed=8)
+    path = str(tmp_path / "replay.bag")
+    w = rbw.BagWriter(path, compression="bz2")
+    for (t, acc, gyr) in sim.imu:
+        w.write_message("/imu", "sensor_msgs/Imu", t, rbw.ser_imu(t, acc, gyr))
+    for chunk in sim.lidar_chunks:
+        if chunk.shape[0] == 0:
+            continue
+        stamp = chunk[0, 3]
+        rel = (chunk[:, 3] - stamp).astype(np.float32)
+        ring = (np.arange(chunk.shape[0]) % 8).astype(np.uint16)
+        w.write_message("/lidar", "sensor_msgs/PointCloud2", stamp,
+                        rbw.ser_pointcloud2_velodyne(
+                            stamp, chunk[:, :3].astype(np.float32), rel, ring))
+    for (t, _img) in sim.images:
+        img = np.zeros((8, 8, 3), np.uint8)
+        w.write_message("/cam", "sensor_msgs/Image", t,
+                        rbw.ser_image_rgb8(t, img))
+    w.close()
+
+    cfg = LivoConfig()
+    cfg.lidar_options.lidar_type = LIDAR_VELODYNE
+    cfg.lidar_options.n_scans = 8
+    cfg.lidar_options.time_unit = 0
+    cfg.lidar_options.blind = 0.3
+    cfg.lidar_options.point_filter_num = 1
+    cfg.odometry_options.voxel_size = 0.2
+    cfg.odometry_options.init_voxel_size = 0.2
+    cfg.odometry_options.sample_voxel_size = 0.8
+    cfg.odometry_options.init_sample_voxel_size = 0.8
+    cfg.odometry_options.min_distance_points = 0.05
+    cfg.icp.size_voxel_map = 0.6
+    cfg.icp.min_number_neighbors = 12
+    cfg.shapes.max_sweep_points = 2048
+    cfg.shapes.max_frame_points = 2048
+    cfg.shapes.max_keypoints = 512
+    cfg.shapes.max_imu_samples = 48
+    cfg.shapes.map_capacity = 1 << 15
+
+    pipe = LivoPipeline(cfg)
+    drivers.replay_bag(pipe, path, cfg, "/lidar", "/imu", "/cam")
+    assert pipe.initialized
+    assert len(pipe.records) > 20
+    ts, ps, _ = pipe.trajectory()
+    ate = tum.ate_rmse(ts, ps, sim.gt_times, sim.gt_pos, align=True)
+    assert ate < 0.08, f"bag-replay ATE {ate:.3f} m"
