@@ -1,0 +1,124 @@
+"""Pose-graph optimization over keyframe poses.
+
+Loop-consistency layer beyond the reference (BASELINE.json north star):
+nodes are SE(3) keyframe poses, edges are relative-pose constraints
+(sequential odometry and loop closures).  Batched Gauss-Newton: all edge
+residuals/Jacobians evaluate as one vmapped program; the sparse normal
+system is assembled by scatter-add and solved densely (6N is small for
+windowed graphs).  The first node is gauge-fixed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sr_livo_tpu.utils import lie
+
+
+class PoseGraph(NamedTuple):
+    q: jnp.ndarray          # (N, 4) node rotations (world_from_body)
+    t: jnp.ndarray          # (N, 3)
+    edge_i: jnp.ndarray     # (E,) int32 source node
+    edge_j: jnp.ndarray     # (E,) int32 target node
+    q_meas: jnp.ndarray     # (E, 4) measured q_i^-1 q_j
+    t_meas: jnp.ndarray     # (E, 3) measured R_i^T (t_j - t_i)
+    rot_w: jnp.ndarray      # (E,) rotation information weight
+    t_w: jnp.ndarray        # (E,) translation information weight
+    edge_valid: jnp.ndarray  # (E,) bool
+
+
+def edge_from_poses(q_i, t_i, q_j, t_j):
+    """Build the relative measurement (q_meas, t_meas) from two poses."""
+    q_rel = lie.quat_normalize(lie.quat_mul(lie.quat_conj(q_i), q_j))
+    t_rel = lie.quat_rotate(lie.quat_conj(q_i), t_j - t_i)
+    return q_rel, t_rel
+
+
+def _edge_residual(q, t, e_i, e_j, q_meas, t_meas):
+    """r = [log(R_meas^T R_i^T R_j), R_i^T (t_j - t_i) - t_meas] (6,)."""
+    q_i, q_j = q[e_i], q[e_j]
+    t_i, t_j = t[e_i], t[e_j]
+    r_rel = lie.quat_to_rot(lie.quat_mul(lie.quat_conj(q_i), q_j))
+    r_meas = lie.quat_to_rot(q_meas)
+    r_rot = lie.log_so3(r_meas.T @ r_rel)
+    r_t = lie.quat_rotate(lie.quat_conj(q_i), t_j - t_i) - t_meas
+    return jnp.concatenate([r_rot, r_t])
+
+
+def _edge_jacobians(q, t, e_i, e_j, t_meas):
+    """First-order Jacobians of the 6-dim edge residual w.r.t. the two
+    nodes' [dtheta, dt] (right perturbations)."""
+    q_i, q_j = q[e_i], q[e_j]
+    t_i, t_j = t[e_i], t[e_j]
+    r_i = lie.quat_to_rot(q_i)
+    r_rel = lie.quat_to_rot(lie.quat_mul(lie.quat_conj(q_i), q_j))
+    dt_local = lie.quat_rotate(lie.quat_conj(q_i), t_j - t_i)
+
+    ji = jnp.zeros((6, 6))
+    jj = jnp.zeros((6, 6))
+    # rotation part: d r_rot/d th_j ~ I, d r_rot/d th_i ~ -R_rel^T
+    ji = ji.at[0:3, 0:3].set(-r_rel.T)
+    jj = jj.at[0:3, 0:3].set(jnp.eye(3))
+    # translation: r_t = R_i^T (t_j - t_i) - t_meas
+    # d/d t_j = R_i^T ; d/d t_i = -R_i^T ; d/d th_i = [R_i^T (t_j - t_i)]x
+    ji = ji.at[3:6, 3:6].set(-r_i.T)
+    jj = jj.at[3:6, 3:6].set(r_i.T)
+    ji = ji.at[3:6, 0:3].set(lie.skew(dt_local))
+    return ji, jj
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph(graph: PoseGraph, *, iters: int = 10,
+                        damping: float = 1e-4
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gauss-Newton over the graph; returns refined (q (N,4), t (N,3))."""
+    n = graph.q.shape[0]
+    dim = 6 * n
+
+    def gn(_it, carry):
+        q, t = carry
+        res = jax.vmap(lambda i, j, qm, tm: _edge_residual(q, t, i, j, qm, tm)
+                       )(graph.edge_i, graph.edge_j, graph.q_meas,
+                         graph.t_meas)                     # (E, 6)
+        ji, jj = jax.vmap(lambda i, j, tm: _edge_jacobians(q, t, i, j, tm)
+                          )(graph.edge_i, graph.edge_j, graph.t_meas)
+        w = jnp.concatenate(
+            [jnp.repeat(graph.rot_w[:, None], 3, 1),
+             jnp.repeat(graph.t_w[:, None], 3, 1)], axis=1)  # (E, 6)
+        w = jnp.where(graph.edge_valid[:, None], w, 0.0)
+        ji_w = ji * w[:, :, None]
+        jj_w = jj * w[:, :, None]
+        res_w = res * w
+
+        h_ii = jnp.einsum("eki,ekj->eij", ji_w, ji)
+        h_jj = jnp.einsum("eki,ekj->eij", jj_w, jj)
+        h_ij = jnp.einsum("eki,ekj->eij", ji_w, jj)
+        b_i = jnp.einsum("eki,ek->ei", ji_w, res)
+        b_j = jnp.einsum("eki,ek->ei", jj_w, res)
+
+        H = jnp.zeros((n, n, 6, 6))
+        H = H.at[graph.edge_i, graph.edge_i].add(h_ii)
+        H = H.at[graph.edge_j, graph.edge_j].add(h_jj)
+        H = H.at[graph.edge_i, graph.edge_j].add(h_ij)
+        H = H.at[graph.edge_j, graph.edge_i].add(
+            jnp.swapaxes(h_ij, -1, -2))
+        b = jnp.zeros((n, 6))
+        b = b.at[graph.edge_i].add(b_i)
+        b = b.at[graph.edge_j].add(b_j)
+
+        H_full = H.transpose(0, 2, 1, 3).reshape(dim, dim)
+        b_full = b.reshape(dim)
+        # gauge fix node 0 + damping
+        H_full = H_full.at[0:6, 0:6].add(jnp.eye(6) * 1e8)
+        H_full = H_full + jnp.eye(dim) * damping
+        dx = -jnp.linalg.solve(H_full, b_full).reshape(n, 6)
+        q_new = lie.quat_normalize(
+            lie.quat_mul(q, lie.exp_so3_quat(dx[:, 0:3])))
+        t_new = t + dx[:, 3:6]
+        return q_new, t_new
+
+    return jax.lax.fori_loop(0, iters, gn, (graph.q, graph.t))

@@ -23,6 +23,7 @@ from sr_livo_tpu.models import eskf as eskf_mod
 from sr_livo_tpu.models.odometry import LioEngine, SweepInput
 from sr_livo_tpu.runtime import measurements as meas_mod
 from sr_livo_tpu.runtime import tum
+from sr_livo_tpu.utils.profiling import StageTimers
 
 
 @dataclass
@@ -54,6 +55,7 @@ class LivoPipeline:
         self.index_frame = 1
         self.records: List[FrameRecord] = []
         self._last_imu_sample = None
+        self.timers = StageTimers(sync=False)
 
     # ---- ingest -----------------------------------------------------------
     def push_points(self, pts: np.ndarray):
@@ -97,7 +99,8 @@ class LivoPipeline:
                 self.initialized = True
             return
 
-        prep = meas_mod.prepare_sweep(meas, self.current_time, self.cfg)
+        with self.timers.stage("prepare_sweep"):
+            prep = meas_mod.prepare_sweep(meas, self.current_time, self.cfg)
         self.current_time = prep.new_current_time
         sweep = SweepInput(
             raw_pts=jnp.asarray(prep.raw_pts),
@@ -113,19 +116,22 @@ class LivoPipeline:
                 1 if self.index_frame < self.cfg.icp.init_num_frames
                 else self.cfg.icp.threshold_voxel_occupancy))
 
-        out = self.engine.step(self.state, self.voxel_map, sweep,
-                               self.index_frame)
+        with self.timers.stage("lio_step"):
+            out = self.engine.step(self.state, self.voxel_map, sweep,
+                                   self.index_frame)
         self.state = out.state
         self.voxel_map = out.voxel_map
 
         if self.vision is not None:
             # colored-map leg of addPointsToMap (every sweep,
             # lioOptimization.cpp:538-539)
-            self.vision.insert_sweep_points(
-                out.frame_pts_world,
-                out.frame_valid & out.summary.success, meas.time_image)
+            with self.timers.stage("color_insert"):
+                self.vision.insert_sweep_points(
+                    out.frame_pts_world,
+                    out.frame_valid & out.summary.success, meas.time_image)
             if meas.rendering and meas.image is not None:
-                self.vision.process_frame(self, meas, out)
+                with self.timers.stage("vision_frame"):
+                    self.vision.process_frame(self, meas, out)
 
         self.records.append(FrameRecord(
             time=meas.time_image,
@@ -139,6 +145,15 @@ class LivoPipeline:
             iterations=int(out.summary.iterations),
             rendering=meas.rendering))
         self.index_frame += 1
+
+    # ---- checkpoint / resume ---------------------------------------------
+    def save_checkpoint(self, path: str):
+        from sr_livo_tpu.runtime.checkpoint import save_pipeline
+        save_pipeline(self, path)
+
+    def load_checkpoint(self, path: str):
+        from sr_livo_tpu.runtime.checkpoint import load_pipeline
+        return load_pipeline(self, path)
 
     # ---- output -----------------------------------------------------------
     def trajectory(self):

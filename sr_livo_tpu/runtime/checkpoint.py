@@ -1,0 +1,155 @@
+"""Checkpoint / resume: full-state snapshots of a running pipeline.
+
+The reference keeps all state in RAM and loses the map on crash
+(SURVEY §5); here the complete estimation state — ESKF, geometry voxel
+map, colored registry, camera filter, track table, host-side cutter
+buffers and trajectory records — serializes to one .npz so a sequence
+can resume mid-run.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(prefix: str, tree, out: Dict[str, np.ndarray]):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out[f"{prefix}__treedef"] = np.frombuffer(
+        str(treedef).encode(), dtype=np.uint8)
+    for i, leaf in enumerate(leaves):
+        out[f"{prefix}__{i}"] = np.asarray(leaf)
+
+
+def _unflatten(prefix: str, template, data) -> Any:
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        arr = data[f"{prefix}__{i}"]
+        new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_pipeline(pipeline, path: str):
+    """Snapshot a LivoPipeline (and attached VisionModule) to `path`."""
+    out: Dict[str, np.ndarray] = {}
+    _flatten("eskf", pipeline.state, out)
+    _flatten("map", pipeline.voxel_map, out)
+
+    meta = {
+        "initialized": pipeline.initialized,
+        "current_time": pipeline.current_time,
+        "index_frame": pipeline.index_frame,
+        "cutter_last_get": pipeline.cutter.last_get_measurement,
+        "cutter_last_imu": pipeline.cutter.last_time_imu,
+        "cutter_last_lidar": pipeline.cutter.last_time_lidar,
+        "cutter_last_img": pipeline.cutter.last_time_img,
+        "has_vision": pipeline.vision is not None,
+        "records": [
+            {"time": r.time, "position": r.position.tolist(),
+             "quat_wxyz": r.quat_wxyz.tolist(),
+             "velocity": r.velocity.tolist(), "ba": r.ba.tolist(),
+             "bg": r.bg.tolist(), "success": r.success,
+             "num_residuals": r.num_residuals, "iterations": r.iterations,
+             "rendering": r.rendering}
+            for r in pipeline.records],
+        "initializer": {
+            "n": pipeline.initializer.n,
+            "first_time": pipeline.initializer.first_time,
+            "last_time": pipeline.initializer.last_time,
+            "mean_gyr": pipeline.initializer.mean_gyr.tolist(),
+            "mean_acc": pipeline.initializer.mean_acc.tolist(),
+            "var_gyr": pipeline.initializer.var_gyr.tolist(),
+            "var_acc": pipeline.initializer.var_acc.tolist(),
+        },
+    }
+
+    # host-side cutter buffers (pending sensor data)
+    pend_pts = []
+    pb = pipeline.cutter.points
+    for i, chunk in enumerate(pb._chunks):
+        pend_pts.append(chunk[pb._offset if i == 0 else 0:])
+    out["cutter_points"] = (np.concatenate(pend_pts)
+                            if pend_pts else np.zeros((0, 4)))
+    imu = list(pipeline.cutter.imu)
+    out["cutter_imu"] = (np.array(
+        [[t, *a, *g] for (t, a, g) in imu]) if imu else np.zeros((0, 7)))
+
+    if pipeline.vision is not None:
+        v = pipeline.vision
+        _flatten("camera", v.camera, out)
+        _flatten("colormap", v.color_map, out)
+        _flatten("tracks", v.tracks, out)
+        meta["vision"] = {
+            "first_data": v.first_data,
+            "prev_time": v.prev_time,
+            "n_new_visited": int(v.n_new_visited),
+        }
+        if v.prev_pyr is not None:
+            _flatten("prev_pyr", v.prev_pyr, out)
+
+    out["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **out)
+
+
+def load_pipeline(pipeline, path: str):
+    """Restore a snapshot into a freshly-constructed LivoPipeline with the
+    same config (and VisionModule attachment) as the saved one."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(data["meta"]).decode())
+
+    pipeline.state = _unflatten("eskf", pipeline.state, data)
+    pipeline.voxel_map = _unflatten("map", pipeline.voxel_map, data)
+    pipeline.initialized = meta["initialized"]
+    pipeline.current_time = meta["current_time"]
+    pipeline.index_frame = meta["index_frame"]
+    pipeline.cutter.last_get_measurement = meta["cutter_last_get"]
+    pipeline.cutter.last_time_imu = meta["cutter_last_imu"]
+    pipeline.cutter.last_time_lidar = meta["cutter_last_lidar"]
+    pipeline.cutter.last_time_img = meta["cutter_last_img"]
+
+    from sr_livo_tpu.pipeline import FrameRecord
+    pipeline.records = [
+        FrameRecord(time=r["time"], position=np.array(r["position"]),
+                    quat_wxyz=np.array(r["quat_wxyz"]),
+                    velocity=np.array(r["velocity"]), ba=np.array(r["ba"]),
+                    bg=np.array(r["bg"]), success=r["success"],
+                    num_residuals=r["num_residuals"],
+                    iterations=r["iterations"], rendering=r["rendering"])
+        for r in meta["records"]]
+
+    ini = meta["initializer"]
+    pipeline.initializer.n = ini["n"]
+    pipeline.initializer.first_time = ini["first_time"]
+    pipeline.initializer.last_time = ini["last_time"]
+    pipeline.initializer.mean_gyr = np.array(ini["mean_gyr"])
+    pipeline.initializer.mean_acc = np.array(ini["mean_acc"])
+    pipeline.initializer.var_gyr = np.array(ini["var_gyr"])
+    pipeline.initializer.var_acc = np.array(ini["var_acc"])
+
+    pts = data["cutter_points"]
+    if pts.shape[0]:
+        pipeline.cutter.points.push(pts)
+    for row in data["cutter_imu"]:
+        pipeline.cutter.imu.append((float(row[0]), row[1:4], row[4:7]))
+
+    if meta.get("has_vision") and pipeline.vision is not None:
+        v = pipeline.vision
+        v.camera = _unflatten("camera", v.camera, data)
+        v.color_map = _unflatten("colormap", v.color_map, data)
+        v.tracks = _unflatten("tracks", v.tracks, data)
+        vm = meta["vision"]
+        v.first_data = vm["first_data"]
+        v.prev_time = vm["prev_time"]
+        v.n_new_visited = jnp.int32(vm["n_new_visited"])
+        if "prev_pyr__treedef" in data and v.prev_time is not None:
+            # rebuild template pyramid to unflatten against
+            import sr_livo_tpu.ops.lk as lk
+            gray = jnp.zeros((v.rows, v.cols), jnp.float32)
+            template = lk.precompute_frame(gray, v.lk_params.levels)
+            v.prev_pyr = _unflatten("prev_pyr", template, data)
+    return pipeline

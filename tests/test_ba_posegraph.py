@@ -1,0 +1,194 @@
+"""Tests for windowed BA (single + sharded) and pose-graph optimization."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr_livo_tpu.ops import voxel_map as vm
+from sr_livo_tpu.parallel import ba, mesh as mesh_mod, pose_graph as pg
+from sr_livo_tpu.parallel.sharded_lio import shard_of
+from sr_livo_tpu.utils import lie
+
+RNG = np.random.RandomState(17)
+
+
+def _world_and_map(cap=1 << 14):
+    u = RNG.uniform(-8, 8, (9000, 2))
+    world = np.concatenate([
+        np.c_[u[:, 0], u[:, 1], np.zeros(9000)],
+        np.c_[np.full(9000, 8.0), u[:, 0], u[:, 1] * 0.25 + 1.5],
+        np.c_[u[:, 0], np.full(9000, 8.0), u[:, 1] * 0.25 + 1.5],
+    ]).astype(np.float32)
+    m = vm.make_map(cap, 20)
+    for i in range(0, world.shape[0], 4096):
+        c = world[i:i + 4096]
+        m, _ = vm.insert(m, jnp.asarray(c), jnp.ones(len(c), bool),
+                         1.0, 0.05, 16)
+    return world, m
+
+
+def _window(world, K=4, N=256, perturb=0.08):
+    """K keyframes at ground-truth poses along a line, each observing N map
+    points in its body frame; poses perturbed for the optimizer."""
+    q_gt, t_gt, pts, valid = [], [], [], []
+    for k in range(K):
+        t_k = np.array([0.5 * k, 0.2 * k, 1.0])
+        w_k = np.array([0.0, 0.0, 0.05 * k])
+        r_k = np.asarray(lie.exp_so3(jnp.asarray(w_k, jnp.float32)))
+        sel = RNG.choice(world.shape[0], N, replace=False)
+        body = (world[sel] - t_k) @ r_k        # R^T (w - t)
+        q_gt.append(np.asarray(lie.exp_so3_quat(jnp.asarray(w_k, jnp.float32))))
+        t_gt.append(t_k)
+        pts.append(body)
+        valid.append(np.ones(N, bool))
+    q_gt = np.stack(q_gt).astype(np.float32)
+    t_gt = np.stack(t_gt).astype(np.float32)
+
+    # odometry measurements from ground truth
+    q_odo, t_odo = [], []
+    for k in range(K - 1):
+        qr, tr = pg.edge_from_poses(
+            jnp.asarray(q_gt[k]), jnp.asarray(t_gt[k]),
+            jnp.asarray(q_gt[k + 1]), jnp.asarray(t_gt[k + 1]))
+        q_odo.append(np.asarray(qr))
+        t_odo.append(np.asarray(tr))
+
+    q0 = q_gt.copy()
+    t0 = t_gt.copy()
+    for k in range(1, K):  # keyframe 0 is the gauge
+        dw = RNG.randn(3) * perturb * 0.3
+        q0[k] = np.asarray(lie.quat_mul(
+            jnp.asarray(q0[k]), lie.exp_so3_quat(jnp.asarray(dw, jnp.float32))))
+        t0[k] = t0[k] + RNG.randn(3) * perturb
+
+    window = ba.KeyframeWindow(
+        q=jnp.asarray(q0), t=jnp.asarray(t0),
+        points=jnp.asarray(np.stack(pts), jnp.float32),
+        pt_valid=jnp.asarray(np.stack(valid)),
+        kf_valid=jnp.ones(K, bool))
+    return (window, jnp.asarray(np.stack(q_odo), jnp.float32),
+            jnp.asarray(np.stack(t_odo), jnp.float32), q_gt, t_gt)
+
+
+def test_windowed_ba_recovers_poses():
+    world, m = _world_and_map()
+    window, q_odo, t_odo, q_gt, t_gt = _window(world)
+    err0 = np.linalg.norm(np.asarray(window.t) - t_gt, axis=-1)
+
+    q, t = ba.windowed_ba(m, window, q_odo, t_odo, voxel_size=1.0,
+                          min_neighbors=8, iters=4)
+    err1 = np.linalg.norm(np.asarray(t) - t_gt, axis=-1)
+    assert err1.max() < 0.02, (err0, err1)
+    for k in range(4):
+        dq = lie.quat_mul(lie.quat_conj(jnp.asarray(q_gt[k])), q[k])
+        ang = float(lie.angular_distance_deg(lie.quat_to_so3(dq)))
+        assert ang < 0.5, (k, ang)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_ba_matches_single():
+    world, m = _world_and_map()
+    window, q_odo, t_odo, q_gt, t_gt = _window(world, K=8)
+
+    q1, t1 = ba.windowed_ba(m, window, q_odo, t_odo, voxel_size=1.0,
+                            min_neighbors=8, iters=3)
+
+    msh = mesh_mod.make_mesh(8)
+    # reshard the map into 8 sub-tables routed by shard_of
+    cap = m.keys.shape[0]
+    sub_cap = cap // 8
+    sharded = vm.make_map(cap, 20)
+    pts_flat = np.asarray(m.points).reshape(-1, 3)
+    counts = np.asarray(m.counts)
+    keys = np.asarray(m.keys)
+    occupied = np.nonzero(counts > 0)[0]
+    sub_maps = [vm.make_map(sub_cap, 20) for _ in range(8)]
+    for slot in occupied:
+        c = counts[slot]
+        pts_s = np.asarray(m.points[slot][:c])
+        shard = int(shard_of(jnp.asarray(keys[slot][None]), 8)[0])
+        sub_maps[shard], _ = vm.insert(
+            sub_maps[shard], jnp.asarray(pts_s), jnp.ones(c, bool),
+            1.0, 0.0, 16)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *sub_maps)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard = NamedSharding(msh, P("map"))
+    stacked = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard),
+                                     stacked)
+
+    fn = ba.make_sharded_windowed_ba(msh, 8, voxel_size=1.0,
+                                     min_neighbors=8, iters=3)
+    q2, t2 = fn(stacked, window, q_odo, t_odo)
+    assert np.allclose(np.asarray(t1), np.asarray(t2), atol=5e-3)
+    assert np.linalg.norm(np.asarray(t2) - t_gt, axis=-1).max() < 0.03
+
+
+def _chain_graph(n=12, drift=0.02, loop=True):
+    """Simulated odometry chain with drift + optional loop closure."""
+    t_gt = np.stack([np.array([np.cos(2 * np.pi * k / n),
+                               np.sin(2 * np.pi * k / n), 0.0]) * 3
+                     for k in range(n)])
+    q_gt = np.stack([np.asarray(lie.exp_so3_quat(jnp.asarray(
+        [0, 0, 2 * np.pi * k / n], jnp.float32))) for k in range(n)])
+
+    edges_i, edges_j, q_meas, t_meas = [], [], [], []
+    # odometry edges (true relative + noise -> drifting initial guess)
+    for k in range(n - 1):
+        qr, tr = pg.edge_from_poses(
+            jnp.asarray(q_gt[k], jnp.float32), jnp.asarray(t_gt[k], jnp.float32),
+            jnp.asarray(q_gt[k + 1], jnp.float32),
+            jnp.asarray(t_gt[k + 1], jnp.float32))
+        tr = np.asarray(tr) + RNG.randn(3) * drift
+        edges_i.append(k); edges_j.append(k + 1)
+        q_meas.append(np.asarray(qr)); t_meas.append(tr)
+    if loop:
+        qr, tr = pg.edge_from_poses(
+            jnp.asarray(q_gt[-1], jnp.float32), jnp.asarray(t_gt[-1], jnp.float32),
+            jnp.asarray(q_gt[0], jnp.float32), jnp.asarray(t_gt[0], jnp.float32))
+        edges_i.append(n - 1); edges_j.append(0)
+        q_meas.append(np.asarray(qr)); t_meas.append(np.asarray(tr))
+
+    # initial guess: integrate noisy odometry
+    q0 = [q_gt[0]]; t0 = [t_gt[0]]
+    for k in range(n - 1):
+        q0.append(np.asarray(lie.quat_mul(jnp.asarray(q0[-1], jnp.float32),
+                                          jnp.asarray(q_meas[k], jnp.float32))))
+        t0.append(t0[-1] + np.asarray(lie.quat_rotate(
+            jnp.asarray(q0[-2], jnp.float32),
+            jnp.asarray(t_meas[k], jnp.float32))))
+    e = len(edges_i)
+    graph = pg.PoseGraph(
+        q=jnp.asarray(np.stack(q0), jnp.float32),
+        t=jnp.asarray(np.stack(t0), jnp.float32),
+        edge_i=jnp.asarray(edges_i, jnp.int32),
+        edge_j=jnp.asarray(edges_j, jnp.int32),
+        q_meas=jnp.asarray(np.stack(q_meas), jnp.float32),
+        t_meas=jnp.asarray(np.stack(t_meas), jnp.float32),
+        rot_w=jnp.ones(e) * 10.0,
+        t_w=jnp.ones(e) * 10.0,
+        edge_valid=jnp.ones(e, bool))
+    return graph, q_gt, t_gt
+
+
+def test_pose_graph_loop_closure_reduces_drift():
+    graph, q_gt, t_gt = _chain_graph()
+    drift0 = np.linalg.norm(np.asarray(graph.t)[-1] - t_gt[-1])
+    q, t = pg.optimize_pose_graph(graph, iters=15)
+    # graph consistency: residuals shrink
+    res_before = np.mean([np.linalg.norm(np.asarray(pg._edge_residual(
+        graph.q, graph.t, graph.edge_i[k], graph.edge_j[k],
+        graph.q_meas[k], graph.t_meas[k]))) for k in range(len(graph.edge_i))])
+    res_after = np.mean([np.linalg.norm(np.asarray(pg._edge_residual(
+        q, t, graph.edge_i[k], graph.edge_j[k],
+        graph.q_meas[k], graph.t_meas[k]))) for k in range(len(graph.edge_i))])
+    assert res_after < res_before * 0.5, (res_before, res_after)
+    # loop closure distributes the drift: end pose closer to truth
+    drift1 = np.linalg.norm(np.asarray(t)[-1] - t_gt[-1])
+    assert drift1 < drift0
+
+
+def test_pose_graph_perfect_measurements_stay_fixed():
+    graph, q_gt, t_gt = _chain_graph(drift=0.0, loop=True)
+    q, t = pg.optimize_pose_graph(graph, iters=5)
+    assert np.allclose(np.asarray(t), t_gt, atol=1e-3)
