@@ -165,6 +165,7 @@ class ShapeOptions:
     map_capacity: int = 1 << 18         # hash slots
     map_voxel_points: int = 20          # == max_num_points_in_voxel
     map_max_probe: int = 16             # linear-probe bound
+    max_insert_points: int = 2048       # per-sweep insertion budget
     # Color map registry (0.1 m voxels)
     color_capacity: int = 1 << 19
     color_voxel_points: int = 20

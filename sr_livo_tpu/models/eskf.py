@@ -170,6 +170,42 @@ def observe(state: EskfState, d_x: jnp.ndarray) -> EskfState:
     return state._replace(p=p, q=q, v=v, ba=ba, bg=bg, g=g)
 
 
+def observe_pose(state: EskfState, translation: jnp.ndarray,
+                 rotation_q: jnp.ndarray, trans_noise: float = 0.001,
+                 ang_noise: float = 0.001) -> EskfState:
+    """Direct pose observation update (eskfEstimator::observePose,
+    eskfEstimator.cpp:232-260; unused by the reference main path but part
+    of its public API).  Applies a 6-dim pose measurement with the
+    inverse-right-Jacobian attitude H block and resets the error state."""
+    dtype = state.p.dtype
+    h = jnp.zeros((6, 17), dtype)
+    h = h.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
+    so3 = lie.quat_to_so3(state.q)
+    h = h.at[3:6, 3:6].set(lie.inv_jr_so3(so3))
+
+    v_diag = jnp.concatenate([jnp.full(3, trans_noise, dtype),
+                              jnp.full(3, ang_noise, dtype)])
+    s = h @ state.cov @ h.T + jnp.diag(v_diag)
+    k = state.cov @ h.T @ jnp.linalg.inv(s)
+
+    upd_q = lie.quat_mul(lie.quat_conj(state.q), rotation_q)
+    upd = jnp.concatenate([translation - state.p, lie.quat_to_so3(upd_q)])
+    d_x = k @ upd
+
+    # updateAndReset (eskfEstimator.cpp:262-284)
+    new = state._replace(
+        p=state.p + d_x[0:3],
+        q=lie.quat_normalize(lie.quat_mul(state.q, lie.exp_so3_quat(d_x[3:6]))),
+        v=state.v + d_x[6:9],
+        ba=state.ba + d_x[9:12],
+        bg=state.bg + d_x[12:15],
+        g=state.g + lie.s2_bx(state.g) @ d_x[15:17])
+    cov = (jnp.eye(17, dtype=dtype) - k @ h) @ state.cov
+    j = jnp.eye(17, dtype=dtype).at[3:6, 3:6].set(
+        jnp.eye(3, dtype=dtype) - 0.5 * lie.skew(d_x[3:6]))
+    return new._replace(cov=j @ cov @ j.T)
+
+
 class ImuInitializer:
     """Host-side static IMU initialization (eskfEstimator.cpp:43-118).
 

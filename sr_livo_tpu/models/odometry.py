@@ -140,7 +140,8 @@ def _sweep_core(state: EskfState,
     insert_valid = frame_valid & success
     voxel_map_new, inserted = vm.insert(
         voxel_map, frame_world, insert_valid, icp.size_voxel_map,
-        odo.min_distance_points, sh.map_max_probe)
+        odo.min_distance_points, sh.map_max_probe,
+        budget=sh.max_insert_points)
 
     return SweepOutput(state=state_new, voxel_map=voxel_map_new,
                        summary=summary._replace(success=success),

@@ -94,7 +94,8 @@ class VisionModule:
             self.color_map, pts_world, valid, obs_time,
             voxel_size=self.cfg.map_options.size_voxel_map,
             min_distance=self.cfg.map_options.min_distance_points,
-            max_probe=self.cfg.shapes.map_max_probe)
+            max_probe=self.cfg.shapes.map_max_probe,
+            budget=self.cfg.shapes.max_insert_points)
         # number_of_new_visited_voxel: voxels whose visit time became current
         now = jnp.asarray(obs_time, before.dtype)
         self.n_new_visited = jnp.sum(

@@ -103,10 +103,10 @@ def _claim_dedup(dedup_keys: jnp.ndarray, coords: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "voxel_size", "min_distance", "max_probe"))
+    "voxel_size", "min_distance", "max_probe", "budget"))
 def color_insert(cmap: ColorMap, pts: jnp.ndarray, valid: jnp.ndarray,
                  obs_time, *, voxel_size: float, min_distance: float,
-                 max_probe: int) -> ColorMap:
+                 max_probe: int, budget=None) -> ColorMap:
     """Insert sweep points into the colored map (addPointToColorMap
     semantics, lioOptimization.cpp:448-518) and update the recent-visited
     voxel timestamps."""
@@ -124,7 +124,8 @@ def color_insert(cmap: ColorMap, pts: jnp.ndarray, valid: jnp.ndarray,
     cand = is_new & ~overflow
 
     vox_new, accepted = vm.insert(
-        cmap.vox, pts, cand, voxel_size, 0.0, max_probe, point_ids=ids)
+        cmap.vox, pts, cand, voxel_size, 0.0, max_probe, point_ids=ids,
+        budget=budget)
 
     safe_ids = jnp.where(accepted, ids, registry)
     pos = cmap.pos.at[safe_ids].set(pts, mode="drop")

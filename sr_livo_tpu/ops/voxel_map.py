@@ -35,13 +35,32 @@ _P1 = jnp.uint32(73856093)
 _P2 = jnp.uint32(19349669)
 _P3 = jnp.uint32(83492791)
 
+# Independent primes for the 31-bit slot signature.
+_S1 = jnp.uint32(2654435761)
+_S2 = jnp.uint32(2246822519)
+_S3 = jnp.uint32(3266489917)
+SIG_EMPTY = jnp.uint32(0xFFFFFFFF)
+
+
+def voxel_sig(coords: jnp.ndarray) -> jnp.ndarray:
+    """31-bit voxel signature (never equals SIG_EMPTY)."""
+    c = coords.astype(jnp.uint32)
+    h = c[..., 0] * _S1 + c[..., 1] * _S2 + c[..., 2] * _S3
+    h = h ^ (h >> 15)
+    return h & jnp.uint32(0x7FFFFFFF)
+
 
 class VoxelMap(NamedTuple):
     """Open-addressing voxel hash table as flat device arrays.
 
     capacity C must be a power of two; K = points per voxel block.
+    Probing scans the compact `sig` column (one word per slot, 31-bit
+    signature of the voxel key) and exactly verifies the selected slot
+    against `keys` — TPU random-gather bandwidth on one int32 column is
+    ~3x that of a 3-int32 row gather.
     """
     keys: jnp.ndarray      # (C, 3) int32 voxel coords; keys[:,0]==EMPTY => free
+    sig: jnp.ndarray       # (C,) uint32 signature; SIG_EMPTY => free slot
     points: jnp.ndarray    # (C, K, 3) f32 world positions
     counts: jnp.ndarray    # (C,) int32 number of valid points in the block
     point_ids: jnp.ndarray  # (C, K) int32 external payload id (-1 = none)
@@ -51,6 +70,7 @@ def make_map(capacity: int, voxel_points: int, dtype=jnp.float32) -> VoxelMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return VoxelMap(
         keys=jnp.full((capacity, 3), EMPTY, jnp.int32),
+        sig=jnp.full((capacity,), SIG_EMPTY, jnp.uint32),
         points=jnp.zeros((capacity, voxel_points, 3), dtype),
         counts=jnp.zeros((capacity,), jnp.int32),
         point_ids=jnp.full((capacity, voxel_points), -1, jnp.int32),
@@ -73,31 +93,53 @@ def _keys_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == b, axis=-1)
 
 
+def _probe_chain(sig_col: jnp.ndarray, coords: jnp.ndarray, max_probe: int):
+    """All probe positions at once over the one-word signature column:
+    returns (cand (..., P), match_idx, empty_idx) where *_idx are the first
+    signature-match/empty position along the chain (== P when absent).
+    One compact gather instead of P sequential rounds — the TPU-friendly
+    formulation of linear probing.  Matches are probabilistic (31-bit
+    signature); callers verify the selected slot against `keys`."""
+    capacity = sig_col.shape[0]
+    base = voxel_hash(coords, capacity)
+    offs = jnp.arange(max_probe, dtype=jnp.int32)
+    cand = (base[..., None] + offs) & (capacity - 1)      # (..., P)
+    s = sig_col[cand]                                     # (..., P) u32
+    want = voxel_sig(coords)
+    match = s == want[..., None]
+    empty = s == SIG_EMPTY
+    match_idx = jnp.where(jnp.any(match, -1),
+                          jnp.argmax(match, -1), max_probe)
+    empty_idx = jnp.where(jnp.any(empty, -1),
+                          jnp.argmax(empty, -1), max_probe)
+    return cand, match_idx, empty_idx
+
+
+def _resolve(vmap_keys, cand, match_idx, empty_idx, coords, max_probe):
+    """Slot of the first signature match (before the first empty), exactly
+    verified against the keys column; -1 when absent or on a (2^-31)
+    signature false positive."""
+    found = (match_idx < max_probe) & (match_idx < empty_idx)
+    take = jnp.minimum(match_idx, max_probe - 1)
+    slot = jnp.take_along_axis(cand, take[..., None], axis=-1)[..., 0]
+    verify = jnp.all(vmap_keys[slot] == coords, axis=-1)
+    return jnp.where(found & verify, slot, -1)
+
+
 def lookup(vmap: VoxelMap, coords: jnp.ndarray, max_probe: int) -> jnp.ndarray:
     """Find slot indices for voxel coords; -1 where absent.
 
-    coords: (..., 3) int32.  Returns (...,) int32 slot ids.
+    coords: (..., 3) int32.  Returns (...,) int32 slot ids.  A probe chain
+    is terminated by the first EMPTY slot (no deletes shorten chains).
     """
-    capacity = vmap.keys.shape[0]
-    base = voxel_hash(coords, capacity)
-    slot = jnp.full(base.shape, -1, jnp.int32)
-    # A probe chain is terminated by the first EMPTY slot; track liveness so a
-    # match after an empty slot (impossible under linear probing w/o deletes)
-    # is not falsely accepted.
-    alive = jnp.ones(base.shape, bool)
-    for r in range(max_probe):
-        cand = (base + r) & (capacity - 1)
-        k = vmap.keys[cand]
-        is_empty = k[..., 0] == EMPTY
-        match = _keys_equal(k, coords) & alive & (slot < 0)
-        slot = jnp.where(match, cand, slot)
-        alive = alive & ~is_empty
-    return slot
+    cand, match_idx, empty_idx = _probe_chain(vmap.sig, coords, max_probe)
+    return _resolve(vmap.keys, cand, match_idx, empty_idx, coords, max_probe)
 
 
 def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
            voxel_size: float, min_distance: float, max_probe: int,
            point_ids: Optional[jnp.ndarray] = None,
+           budget: Optional[int] = None,
            ) -> Tuple[VoxelMap, jnp.ndarray]:
     """Insert a batch of world points with addPointToMap semantics.
 
@@ -110,86 +152,127 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     upstream voxel-grid subsampling at >= min_distance spacing makes the
     difference immaterial.
 
+    `budget` bounds how many candidate points go through the expensive
+    claim/rank/scatter phases per call (a cheap full-batch pre-gate rejects
+    the common failures first).  Overflowing candidates are dropped for this
+    call — on a live map the same voxels reappear next sweep, so the map
+    self-heals; None processes the full batch.
+
     Returns (new_map, accepted) where accepted is a bool mask of points that
     were stored.  `point_ids` optionally tags stored points with an external
     payload id (used by the color-map registry).
     """
     capacity, K = vmap.points.shape[0], vmap.points.shape[1]
     n = pts.shape[0]
+    b = n if budget is None else min(budget, n)
     coords = voxel_coords(pts, voxel_size)
-    base = voxel_hash(coords, capacity)
     if point_ids is None:
         point_ids = jnp.full((n,), -1, jnp.int32)
 
     keys = vmap.keys
-    slot = jnp.full((n,), -1, jnp.int32)
-    # Multi-round claim: each unresolved point probes (hash + r); the winner
-    # (lowest point index, via scatter-min) writes its key into an empty
-    # slot, then everyone re-checks for a key match.  This reproduces what
-    # concurrent CAS insertion would do, deterministically.
-    for r in range(max_probe):
-        unresolved = (slot < 0) & valid
-        cand = (base + r) & (capacity - 1)
-        k = keys[cand]
-        match = _keys_equal(k, coords) & unresolved
-        slot = jnp.where(match, cand, slot)
-        unresolved = (slot < 0) & valid
+    sig_col = vmap.sig
 
-        is_empty = (k[..., 0] == EMPTY) & unresolved
-        claim = jnp.full((capacity,), n, jnp.int32)
-        claim = claim.at[jnp.where(is_empty, cand, capacity)].min(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
-        winner = is_empty & (claim[cand] == jnp.arange(n, dtype=jnp.int32))
-        keys = keys.at[jnp.where(winner, cand, capacity)].set(
-            coords, mode="drop")
-        # Losers re-check: their target slot may now hold their key.
-        k2 = keys[cand]
-        match2 = _keys_equal(k2, coords) & unresolved
-        slot = jnp.where(match2, cand, slot)
-
+    # Phase 1 — one batched probe resolves every point whose voxel already
+    # exists (the common case on a warm map).
+    cand, match_idx, empty_idx = _probe_chain(sig_col, coords, max_probe)
+    slot = _resolve(keys, cand, match_idx, empty_idx, coords, max_probe)
     has_slot = slot >= 0
     safe_slot = jnp.where(has_slot, slot, 0)
 
-    # Min-distance gate vs points already in the block (pre-batch contents).
+    # Phase 2 — cheap full-batch gate: min-distance vs the block's current
+    # points + block-not-full, and claim eligibility for absent voxels.
     blk_pts = vmap.points[safe_slot]                      # (n, K, 3)
     blk_cnt = vmap.counts[safe_slot]                      # (n,)
-    occ = jnp.arange(K)[None, :] < blk_cnt[:, None]       # (n, K)
+    occ = jnp.arange(K)[None, :] < blk_cnt[:, None]
     d2 = jnp.sum((blk_pts - pts[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(occ, d2, jnp.inf)
-    min_d2 = jnp.min(d2, axis=-1)
+    min_d2 = jnp.min(jnp.where(occ, d2, jnp.inf), axis=-1)
     far_enough = min_d2 > (min_distance * min_distance)
+    ok_existing = valid & has_slot & far_enough & (blk_cnt < K)
+    needs_claim = valid & ~has_slot & (empty_idx < max_probe)
+    cand_mask = ok_existing | needs_claim
 
-    want = valid & has_slot & far_enough
+    # Phase 3 — compact candidates to the budget (stable by index).
+    order = jnp.argsort(~cand_mask, stable=True)
+    sel = order[:b]
+    live = cand_mask[sel]
+    pts_c = pts[sel]
+    coords_c = coords[sel]
+    ids_c = point_ids[sel]
+    slot_c = slot[sel]
+    cnt_c = blk_cnt[sel]
+    idx_b = jnp.arange(b, dtype=jnp.int32)
+    want_c = voxel_sig(coords_c)
 
-    # Rank points within each slot by sorting (slot, index); position in the
-    # block = old count + within-slot rank.
-    order = jnp.argsort(jnp.where(want, slot, capacity), stable=True)
-    slot_sorted = jnp.where(want, slot, capacity)[order]
-    seg_start = jnp.concatenate(
-        [jnp.ones((1,), bool), slot_sorted[1:] != slot_sorted[:-1]])
-    idx_in_sorted = jnp.arange(n)
-    start_idx = jnp.where(seg_start, idx_in_sorted, 0)
-    start_idx = jax.lax.associative_scan(jnp.maximum, start_idx)
-    rank_sorted = idx_in_sorted - start_idx
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
+    # Phase 4 — claim rounds for new voxels on the compacted set.  One
+    # leader per distinct voxel (elected by sorting signatures) claims the
+    # first empty slot of its chain via scatter-min arbitration (chain
+    # overlaps between different voxels), writes sig+keys, and the rest
+    # re-probe.  This reproduces what concurrent CAS insertion would do,
+    # deterministically; conflicts decay geometrically per round and
+    # leftover points are dropped for the call (self-healing, see above).
+    for _r in range(3):
+        cand_c, mi_c, ei_c = _probe_chain(sig_col, coords_c, max_probe)
+        resolved = _resolve(keys, cand_c, mi_c, ei_c, coords_c, max_probe)
+        new_block = (slot_c < 0) & (resolved >= 0)
+        slot_c = jnp.where(slot_c < 0, resolved, slot_c)
+        cnt_c = jnp.where(new_block, 0, cnt_c)
 
-    pos = blk_cnt + rank
-    accept = want & (pos < K)
+        unresolved = (slot_c < 0) & live & (ei_c < max_probe)
+        sort_key = jnp.where(unresolved, want_c, SIG_EMPTY)
+        so = jnp.argsort(sort_key)
+        ks = sort_key[so]
+        first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+        leader = jnp.zeros((b,), bool).at[so].set(first) & unresolved
 
-    flat_idx = jnp.where(accept, safe_slot * K + pos, capacity * K)
+        tgt = jnp.take_along_axis(
+            cand_c, jnp.minimum(ei_c, max_probe - 1)[..., None], -1)[..., 0]
+        claim = jnp.full((capacity,), b, jnp.int32)
+        claim = claim.at[jnp.where(leader, tgt, capacity)].min(
+            idx_b, mode="drop")
+        winner = leader & (claim[tgt] == idx_b)
+        # dropped rows get distinct out-of-bounds indices so the
+        # unique_indices contract holds
+        w_idx = jnp.where(winner, tgt, capacity + idx_b)
+        keys = keys.at[w_idx].set(coords_c, mode="drop", unique_indices=True)
+        sig_col = sig_col.at[w_idx].set(want_c, mode="drop",
+                                        unique_indices=True)
+        slot_c = jnp.where(winner, tgt, slot_c)
+        cnt_c = jnp.where(winner, 0, cnt_c)
+
+    ok_c = live & (slot_c >= 0)
+    safe_c = jnp.where(ok_c, slot_c, 0)
+
+    # Phase 5 — within-voxel rank by sorting (slot, index); position in the
+    # block = current count + rank.
+    ro = jnp.argsort(jnp.where(ok_c, slot_c, capacity), stable=True)
+    ss = jnp.where(ok_c, slot_c, capacity)[ro]
+    seg = jnp.concatenate([jnp.ones((1,), bool), ss[1:] != ss[:-1]])
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(seg, jnp.arange(b), 0))
+    rank = jnp.zeros((b,), jnp.int32).at[ro].set(
+        (jnp.arange(b) - start).astype(jnp.int32))
+
+    pos = cnt_c + rank
+    accept_c = ok_c & (pos < K)
+
+    # Phase 6 — budget-sized scatters.
+    flat_idx = jnp.where(accept_c, safe_c * K + pos, capacity * K + idx_b)
     points_flat = vmap.points.reshape(capacity * K, 3)
-    points_flat = points_flat.at[flat_idx].set(pts, mode="drop")
+    points_flat = points_flat.at[flat_idx].set(pts_c, mode="drop",
+                                               unique_indices=True)
     ids_flat = vmap.point_ids.reshape(capacity * K)
-    ids_flat = ids_flat.at[flat_idx].set(point_ids, mode="drop")
-
+    ids_flat = ids_flat.at[flat_idx].set(ids_c, mode="drop",
+                                         unique_indices=True)
     add = jnp.zeros((capacity,), jnp.int32).at[
-        jnp.where(accept, safe_slot, capacity)].add(1, mode="drop")
+        jnp.where(accept_c, safe_c, capacity)].add(1, mode="drop")
     counts = vmap.counts + add
 
-    return VoxelMap(keys=keys,
+    accepted = jnp.zeros((n,), bool).at[sel].set(accept_c)
+
+    return VoxelMap(keys=keys, sig=sig_col,
                     points=points_flat.reshape(capacity, K, 3),
                     counts=counts,
-                    point_ids=ids_flat.reshape(capacity, K)), accept
+                    point_ids=ids_flat.reshape(capacity, K)), accepted
 
 
 _OFFSETS27 = None

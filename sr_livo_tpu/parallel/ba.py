@@ -226,7 +226,8 @@ def make_sharded_windowed_ba(mesh: Mesh, n_keyframes: int, *,
         q, t = jax.lax.fori_loop(0, iters, gn_iter, (window.q, window.t))
         return q, t
 
-    map_spec = vm.VoxelMap(keys=P(MAP_AXIS), points=P(MAP_AXIS),
+    map_spec = vm.VoxelMap(keys=P(MAP_AXIS), sig=P(MAP_AXIS),
+                           points=P(MAP_AXIS),
                            counts=P(MAP_AXIS), point_ids=P(MAP_AXIS))
     win_spec = KeyframeWindow(q=P(), t=P(), points=P(), pt_valid=P(),
                               kf_valid=P())

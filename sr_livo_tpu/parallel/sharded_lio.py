@@ -200,7 +200,8 @@ class ShardedLioEngine:
         self.r_il = jnp.asarray(cfg.extrinsics.R_imu_lidar(), dtype)
         self.t_il = jnp.asarray(cfg.extrinsics.t_imu_lidar(), dtype)
 
-        map_spec = vm.VoxelMap(keys=P(MAP_AXIS), points=P(MAP_AXIS),
+        map_spec = vm.VoxelMap(keys=P(MAP_AXIS), sig=P(MAP_AXIS),
+                               points=P(MAP_AXIS),
                                counts=P(MAP_AXIS), point_ids=P(MAP_AXIS))
         rep = jax.tree_util.tree_map(lambda _: P(), SweepInput(
             *([0] * len(SweepInput._fields))))
@@ -289,7 +290,8 @@ class ShardedLioEngine:
         mine = shard_of(coords, self.n_shards) == me
         local_new, inserted_l = vm.insert(
             local_map, frame_world, frame_valid & success & mine,
-            icp.size_voxel_map, odo.min_distance_points, sh.map_max_probe)
+            icp.size_voxel_map, odo.min_distance_points, sh.map_max_probe,
+            budget=sh.max_insert_points)
         inserted = jax.lax.psum(inserted_l.astype(jnp.int32), MAP_AXIS) > 0
 
         return SweepOutput(state=state_new, voxel_map=local_new,
