@@ -20,6 +20,8 @@ import numpy as np
 
 
 def main():
+    from sr_livo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from sr_livo_tpu.config import LivoConfig

@@ -47,8 +47,10 @@ class ColorMap(NamedTuple):
     # color voxel table (point_ids -> registry ids)
     vox: vm.VoxelMap
     vox_last_visit: jnp.ndarray  # (C,) f32
-    # dedup grid: key-only open-addressing set at min_distance resolution
-    dedup_keys: jnp.ndarray      # (D, 3) int32
+    # dedup grid: signature-only open-addressing set at min_distance
+    # resolution (a 2^-31 signature collision wrongly drops one point —
+    # immaterial for a visualization map)
+    dedup_sig: jnp.ndarray       # (D,) uint32
 
 
 def make_color_map(registry: int, capacity: int, voxel_points: int,
@@ -66,40 +68,51 @@ def make_color_map(registry: int, capacity: int, voxel_points: int,
         count=jnp.int32(0),
         vox=vm.make_map(capacity, voxel_points, dtype),
         vox_last_visit=jnp.full((capacity,), -1.0, dtype),
-        dedup_keys=jnp.full((capacity * 2, 3), vm.EMPTY, jnp.int32),
+        dedup_sig=jnp.full((capacity * 2,), vm.SIG_EMPTY, jnp.uint32),
     )
 
 
-def _claim_dedup(dedup_keys: jnp.ndarray, coords: jnp.ndarray,
+def _claim_dedup(dedup_sig: jnp.ndarray, coords: jnp.ndarray,
                  valid: jnp.ndarray, max_probe: int
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Claim cells in the key-only dedup set.  Returns (new_keys, is_new):
-    is_new[i] True iff point i claimed a previously-absent cell (and is the
-    batch winner for it)."""
-    cap = dedup_keys.shape[0]
+    """Claim cells in the signature-only dedup set.  Returns
+    (new_sig, is_new): is_new[i] True iff point i claimed a previously-
+    absent cell (and is the batch winner for it).  Same leader-election +
+    scatter-min arbitration as the voxel-map insert."""
+    cap = dedup_sig.shape[0]
     n = coords.shape[0]
     base = vm.voxel_hash(coords, cap)
-    state = jnp.full((n,), 0, jnp.int32)  # 0 unresolved, 1 new, 2 duplicate
-    keys = dedup_keys
-    for r in range(max_probe):
-        unresolved = (state == 0) & valid
-        cand = (base + r) & (cap - 1)
-        k = keys[cand]
-        dup = jnp.all(k == coords, axis=-1) & unresolved
-        state = jnp.where(dup, 2, state)
-        unresolved = (state == 0) & valid
-        is_empty = (k[..., 0] == vm.EMPTY) & unresolved
-        claim = jnp.full((cap,), n, jnp.int32)
-        claim = claim.at[jnp.where(is_empty, cand, cap)].min(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
-        winner = is_empty & (claim[cand] == jnp.arange(n, dtype=jnp.int32))
-        keys = keys.at[jnp.where(winner, cand, cap)].set(coords, mode="drop")
-        state = jnp.where(winner, 1, state)
-        # batch losers whose key is now present resolve as duplicates
-        k2 = keys[cand]
-        dup2 = jnp.all(k2 == coords, axis=-1) & (state == 0) & valid
-        state = jnp.where(dup2, 2, state)
-    return keys, state == 1
+    want = vm.voxel_sig(coords)
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+    offs = jnp.arange(max_probe, dtype=jnp.int32)
+    sig = dedup_sig
+    is_new = jnp.zeros((n,), bool)
+    resolved = ~valid
+    for _r in range(3):
+        cand = (base[:, None] + offs) & (cap - 1)
+        g = sig[cand]
+        match = jnp.any(g == want[:, None], axis=-1)
+        empty = g == vm.SIG_EMPTY
+        has_empty = jnp.any(empty, axis=-1)
+        ei = jnp.where(has_empty, jnp.argmax(empty, -1), max_probe)
+        resolved = resolved | match          # duplicate (pre-existing or
+        unres = ~resolved & (ei < max_probe)  # claimed by an earlier winner)
+        # leader election per distinct cell signature
+        sk = jnp.where(unres, want, vm.SIG_EMPTY)
+        so = jnp.argsort(sk)
+        ks = sk[so]
+        first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+        leader = jnp.zeros((n,), bool).at[so].set(first) & unres
+        tgt = jnp.take_along_axis(
+            cand, jnp.minimum(ei, max_probe - 1)[:, None], -1)[..., 0]
+        claim = jnp.full((cap,), n, jnp.int32).at[
+            jnp.where(leader, tgt, cap)].min(idx_n, mode="drop")
+        winner = leader & (claim[tgt] == idx_n)
+        sig = sig.at[jnp.where(winner, tgt, cap + idx_n)].set(
+            want, mode="drop", unique_indices=True)
+        is_new = is_new | winner
+        resolved = resolved | winner
+    return sig, is_new
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -114,8 +127,8 @@ def color_insert(cmap: ColorMap, pts: jnp.ndarray, valid: jnp.ndarray,
     n = pts.shape[0]
 
     dd_coords = vm.voxel_coords(pts, min_distance)
-    dedup_keys, is_new = _claim_dedup(cmap.dedup_keys, dd_coords, valid,
-                                      max_probe)
+    dedup_sig, is_new = _claim_dedup(cmap.dedup_sig, dd_coords, valid,
+                                     max_probe)
 
     # provisional registry ids for dedup winners
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
@@ -143,7 +156,7 @@ def color_insert(cmap: ColorMap, pts: jnp.ndarray, valid: jnp.ndarray,
 
     return cmap._replace(pos=pos, reg_valid=reg_valid, n_rgb=n_rgb,
                          count=count, vox=vox_new, vox_last_visit=visit,
-                         dedup_keys=dedup_keys)
+                         dedup_sig=dedup_sig)
 
 
 def project_points(pts: jnp.ndarray, q_cw: jnp.ndarray, t_cw: jnp.ndarray,

@@ -26,6 +26,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    from sr_livo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
