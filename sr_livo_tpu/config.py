@@ -192,6 +192,8 @@ class LivoConfig:
     output_path: str = "output"
     debug_output: bool = False
     laser_point_cov: float = 0.001      # lioOptimization.cpp:364
+    # None = auto (Pallas kernels on TPU, pure-jnp path on CPU)
+    use_pallas: Optional[bool] = None
 
     @property
     def sweep_interval(self) -> float:

@@ -57,6 +57,7 @@ def build_residuals(
     weight_neighborhood: float,
     max_num_residuals: int,
     max_probe: int,
+    use_pallas: bool = False,
 ) -> ResidualBatch:
     """One residual-construction pass (buildPlaneResiduals semantics).
 
@@ -78,8 +79,39 @@ def build_residuals(
         nb_voxels=nb_voxels_visited,
         threshold_capacity=threshold_voxel_capacity)
     n_found = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
-    enough = n_found >= min_number_neighbors
+    r_world = lie.quat_to_rot(q)
 
+    if use_pallas:
+        from sr_livo_tpu.ops.pallas.plane_fit import plane_residuals_pallas
+        h_x, h, good = plane_residuals_pallas(
+            neighbors, n_found, world, location, r_world, last_trans,
+            keypts_valid, lam_w=lam_w, lam_nb=lam_nb,
+            power_planarity=power_planarity, max_dist=max_dist_to_plane,
+            min_neighbors=min_number_neighbors)
+    else:
+        h_x, h, good = _plane_rows_jnp(
+            neighbors, n_found, world, location, r_world, last_trans,
+            keypts_valid, lam_w=lam_w, lam_nb=lam_nb,
+            power_planarity=power_planarity, max_dist=max_dist_to_plane,
+            min_neighbors=min_number_neighbors)
+
+    # Residual cap in keypoint order (optimize.cpp:107).
+    if max_num_residuals > 0:
+        prefix = jnp.cumsum(good.astype(jnp.int32))
+        good = good & (prefix <= max_num_residuals)
+        keep = good[:, None]
+        h_x = jnp.where(keep, h_x, 0.0)
+        h = jnp.where(good, h, 0.0)
+    return ResidualBatch(h_x=h_x, h=h, valid=good,
+                         num=jnp.sum(good).astype(jnp.int32))
+
+
+def _plane_rows_jnp(neighbors, n_found, world, location, r_world,
+                    last_trans, keypts_valid, *, lam_w, lam_nb,
+                    power_planarity, max_dist, min_neighbors):
+    """Pure-jnp residual rows (reference implementation; the Pallas kernel
+    in ops.pallas.plane_fit mirrors this math)."""
+    enough = n_found >= min_neighbors
     normal, a2d, _ = nb_ops.neighborhood_distribution(neighbors, n_found)
     # Orient normal toward the previous sensor position (optimize.cpp:49-51).
     flip = jnp.sum(normal * (last_trans[None, :] - world), axis=-1) < 0
@@ -89,26 +121,18 @@ def build_residuals(
     closest = neighbors[:, 0, :]
     closest_dist = jnp.linalg.norm(closest - world, axis=-1)
     weight = (lam_w * planarity_w
-              + lam_nb * jnp.exp(-closest_dist /
-                                 (max_dist_to_plane * min_number_neighbors)))
+              + lam_nb * jnp.exp(-closest_dist / (max_dist * min_neighbors)))
 
     norm_offset = -jnp.sum(normal * closest, axis=-1)
     distance = jnp.sum(normal * world, axis=-1) + norm_offset
 
-    good = keypts_valid & enough & (distance < max_dist_to_plane)
-    # Residual cap in keypoint order (optimize.cpp:107).
-    if max_num_residuals > 0:
-        prefix = jnp.cumsum(good.astype(jnp.int32))
-        good = good & (prefix <= max_num_residuals)
-
+    good = keypts_valid & enough & (distance < max_dist)
     w = jnp.where(good, weight, 0.0)
-    r_world = lie.quat_to_rot(q)
     j_rot = -jnp.einsum("ni,ij,njk->nk", normal, r_world,
                         lie.skew(location))
     h_x = jnp.concatenate([normal * w[:, None], j_rot * w[:, None]], axis=-1)
     h = jnp.where(good, distance * weight, 0.0)
-    return ResidualBatch(h_x=h_x, h=h, valid=good,
-                         num=jnp.sum(good).astype(jnp.int32))
+    return h_x, h, good
 
 
 def _reset_jacobian(d_so3: jnp.ndarray, so3_dg: jnp.ndarray,
@@ -152,7 +176,7 @@ def _error_vs_prediction(state: EskfState, pred: EskfState):
                      "max_num_residuals", "max_probe", "max_iters",
                      "threshold_translation_norm",
                      "threshold_orientation_norm", "laser_point_cov",
-                     "check_convergence"))
+                     "check_convergence", "use_pallas"))
 def iekf_update(
     state: EskfState,
     voxel_map: vm.VoxelMap,
@@ -177,6 +201,7 @@ def iekf_update(
     threshold_orientation_norm: float,
     laser_point_cov: float,
     check_convergence: bool = True,
+    use_pallas: bool = False,
 ) -> Tuple[EskfState, IekfSummary]:
     """Iterated EKF measurement update (updateIEKF, optimize.cpp:133-314).
 
@@ -202,7 +227,8 @@ def iekf_update(
             weight_alpha=weight_alpha,
             weight_neighborhood=weight_neighborhood,
             max_num_residuals=max_num_residuals,
-            max_probe=max_probe)
+            max_probe=max_probe,
+            use_pallas=use_pallas)
 
     def body(carry):
         s, it, _conv, _ok, _nres, cov_final = carry

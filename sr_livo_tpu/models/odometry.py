@@ -26,6 +26,13 @@ from sr_livo_tpu.ops import voxel_map as vm
 from sr_livo_tpu.utils import lie
 
 
+def _resolve_use_pallas(cfg: LivoConfig) -> bool:
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
 class SweepInput(NamedTuple):
     """Padded device tensors for one reconstructed sweep."""
     raw_pts: jnp.ndarray    # (N, 3) LiDAR-frame points
@@ -126,7 +133,8 @@ def _sweep_core(state: EskfState,
         max_iters=max_iters,
         threshold_translation_norm=icp.threshold_translation_norm,
         threshold_orientation_norm=icp.threshold_orientation_norm,
-        laser_point_cov=cfg.laser_point_cov)
+        laser_point_cov=cfg.laser_point_cov,
+        use_pallas=_resolve_use_pallas(cfg))
 
     state_new = jax.tree_util.tree_map(
         lambda a, b: jnp.where(sweep.do_optimize, a, b), state_upd, state_pred)
