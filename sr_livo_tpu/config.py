@@ -194,6 +194,10 @@ class LivoConfig:
     laser_point_cov: float = 0.001      # lioOptimization.cpp:364
     # None = auto (Pallas kernels on TPU, pure-jnp path on CPU)
     use_pallas: Optional[bool] = None
+    # Far-voxel eviction (removePointsFarFromLocation is disabled in the
+    # reference main loop, lioOptimization.cpp:1032 — off by default here too)
+    enable_map_eviction: bool = False
+    eviction_every_n_frames: int = 20
 
     @property
     def sweep_interval(self) -> float:

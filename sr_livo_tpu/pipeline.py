@@ -122,6 +122,13 @@ class LivoPipeline:
         self.state = out.state
         self.voxel_map = out.voxel_map
 
+        if (self.cfg.enable_map_eviction
+                and self.index_frame % self.cfg.eviction_every_n_frames == 0):
+            from sr_livo_tpu.ops.voxel_map import remove_far_voxels
+            self.voxel_map = remove_far_voxels(
+                self.voxel_map, self.state.p,
+                self.cfg.odometry_options.max_distance)
+
         if self.vision is not None:
             # colored-map leg of addPointsToMap (every sweep,
             # lioOptimization.cpp:538-539)
@@ -163,6 +170,24 @@ class LivoPipeline:
         qs = np.stack([r.quat_wxyz for r in self.records]) if self.records \
             else np.zeros((0, 4))
         return ts, ps, qs
+
+    def record_parameters(self, out_dir: Optional[str] = None):
+        """parameter_list.txt dump (recordParameters, parameters.cpp:73-164)."""
+        import dataclasses
+        out_dir = out_dir or self.cfg.output_path
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "parameter_list.txt"), "w") as f:
+            def dump(name, dc):
+                f.write(f"[{name}]\n")
+                for fld in dataclasses.fields(dc):
+                    f.write(f"{fld.name}: {getattr(dc, fld.name)}\n")
+                f.write("\n")
+            dump("odometry_options", self.cfg.odometry_options)
+            dump("icp_options", self.cfg.icp)
+            dump("map_options", self.cfg.map_options)
+            dump("imu_parameter", self.cfg.imu_options)
+            dump("lidar_parameter", self.cfg.lidar_options)
+            dump("shapes", self.cfg.shapes)
 
     def write_outputs(self, out_dir: Optional[str] = None):
         """pose.txt / velocity.txt / bias.txt (recordSinglePose,
