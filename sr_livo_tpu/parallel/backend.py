@@ -1,0 +1,178 @@
+"""Mapping backend: keyframes, windowed BA, pose graph, loop closures.
+
+Optional subsystem attached to a LivoPipeline (the reference has no
+backend — this is the framework's distributed/consistency dimension from
+BASELINE.json).  The frontend stays untouched: the backend snapshots
+keyframes (pose + subsampled scan) at a fixed spacing, periodically
+refines the recent window with windowed BA, accumulates odometry edges
+in a pose graph, and folds in verified loop closures.  `optimized_
+trajectory()` returns the loop-consistent path alongside the frontend's
+odometry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sr_livo_tpu.parallel import ba as ba_mod
+from sr_livo_tpu.parallel import loop_closure as lc
+from sr_livo_tpu.parallel import pose_graph as pg
+from sr_livo_tpu.utils import lie
+
+
+@dataclass
+class Keyframe:
+    time: float
+    q: np.ndarray             # (4,) world_from_body
+    t: np.ndarray             # (3,)
+    points: np.ndarray        # (N, 3) body-frame keypoints (padded)
+    valid: np.ndarray         # (N,) bool
+
+
+@dataclass
+class BackendConfig:
+    keyframe_interval: float = 0.5       # seconds between keyframes
+    window_size: int = 4                 # keyframes per BA window
+    ba_every_n_keyframes: int = 4
+    ba_voxel_size: float = 0.6
+    ba_min_neighbors: int = 8
+    loop_radius: float = 2.0
+    loop_min_gap: int = 20
+    loop_fitness_threshold: float = 0.6
+    loop_check_every_n: int = 5
+    max_keyframe_points: int = 1024
+    odometry_rot_w: float = 50.0
+    odometry_t_w: float = 50.0
+    loop_rot_w: float = 100.0
+    loop_t_w: float = 100.0
+
+
+class MappingBackend:
+    def __init__(self, cfg: Optional[BackendConfig] = None):
+        self.cfg = cfg or BackendConfig()
+        self.keyframes: List[Keyframe] = []
+        self.edges: List[dict] = []      # odometry + loop edges
+        self.n_loop_closures = 0
+        self._last_kf_time = -1e18
+        self.ba_runs = 0
+
+    # ---- called by the pipeline after each processed frame -------------
+    def maybe_add_keyframe(self, pipeline, out, meas):
+        if meas.time_image - self._last_kf_time < self.cfg.keyframe_interval:
+            return
+        if not bool(out.summary.success):
+            return
+        self._last_kf_time = meas.time_image
+        q = np.asarray(out.state.q, np.float32)
+        t = np.asarray(out.state.p, np.float32)
+        # body-frame keypoints from the registered world frame points
+        pts_w = np.asarray(out.frame_pts_world)
+        valid = np.asarray(out.frame_valid)
+        m = self.cfg.max_keyframe_points
+        idx = np.nonzero(valid)[0]
+        stride = max(len(idx) // m, 1)
+        idx = idx[::stride][:m]
+        r = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
+        body = (pts_w[idx] - t) @ r
+        pts = np.zeros((m, 3), np.float32)
+        ok = np.zeros(m, bool)
+        pts[:len(idx)] = body
+        ok[:len(idx)] = True
+        kf = Keyframe(time=meas.time_image, q=q, t=t, points=pts, valid=ok)
+
+        if self.keyframes:
+            prev = self.keyframes[-1]
+            q_rel, t_rel = pg.edge_from_poses(
+                jnp.asarray(prev.q), jnp.asarray(prev.t),
+                jnp.asarray(q), jnp.asarray(t))
+            self.edges.append(dict(
+                i=len(self.keyframes) - 1, j=len(self.keyframes),
+                q=np.asarray(q_rel), t=np.asarray(t_rel),
+                rot_w=self.cfg.odometry_rot_w, t_w=self.cfg.odometry_t_w))
+        self.keyframes.append(kf)
+
+        n = len(self.keyframes)
+        if (n >= self.cfg.window_size
+                and n % self.cfg.ba_every_n_keyframes == 0):
+            self._run_window_ba(pipeline.voxel_map)
+        if n % self.cfg.loop_check_every_n == 0:
+            self._check_loop_closures()
+
+    # ---- windowed BA over the most recent keyframes ---------------------
+    def _run_window_ba(self, voxel_map):
+        k = self.cfg.window_size
+        kfs = self.keyframes[-k:]
+        window = ba_mod.KeyframeWindow(
+            q=jnp.asarray(np.stack([f.q for f in kfs])),
+            t=jnp.asarray(np.stack([f.t for f in kfs])),
+            points=jnp.asarray(np.stack([f.points for f in kfs])),
+            pt_valid=jnp.asarray(np.stack([f.valid for f in kfs])),
+            kf_valid=jnp.ones(k, bool))
+        q_odo, t_odo = [], []
+        for a, b in zip(kfs[:-1], kfs[1:]):
+            qr, tr = pg.edge_from_poses(
+                jnp.asarray(a.q), jnp.asarray(a.t),
+                jnp.asarray(b.q), jnp.asarray(b.t))
+            q_odo.append(np.asarray(qr))
+            t_odo.append(np.asarray(tr))
+        q_new, t_new = ba_mod.windowed_ba(
+            voxel_map, window,
+            jnp.asarray(np.stack(q_odo)), jnp.asarray(np.stack(t_odo)),
+            voxel_size=self.cfg.ba_voxel_size,
+            min_neighbors=self.cfg.ba_min_neighbors, iters=2)
+        for idx, f in enumerate(kfs):
+            f.q = np.asarray(q_new[idx])
+            f.t = np.asarray(t_new[idx])
+        self.ba_runs += 1
+
+    # ---- loop closures ---------------------------------------------------
+    def _check_loop_closures(self):
+        if len(self.keyframes) < self.cfg.loop_min_gap + 2:
+            return
+        pos = np.stack([f.t for f in self.keyframes])
+        cands = lc.find_candidates(pos, radius=self.cfg.loop_radius,
+                                   min_gap=self.cfg.loop_min_gap,
+                                   max_pairs=2)
+        existing = {(e["i"], e["j"]) for e in self.edges}
+        for (i, j) in cands:
+            if (i, j) in existing:
+                continue
+            fi, fj = self.keyframes[i], self.keyframes[j]
+            res = lc.verify_closure(
+                jnp.asarray(fi.points), jnp.asarray(fi.valid),
+                jnp.asarray(fj.points), jnp.asarray(fj.valid),
+                jnp.asarray(fi.q), jnp.asarray(fi.t),
+                jnp.asarray(fj.q), jnp.asarray(fj.t))
+            if float(res.fitness) >= self.cfg.loop_fitness_threshold:
+                self.edges.append(dict(
+                    i=i, j=j, q=np.asarray(res.q_meas),
+                    t=np.asarray(res.t_meas),
+                    rot_w=self.cfg.loop_rot_w, t_w=self.cfg.loop_t_w))
+                self.n_loop_closures += 1
+
+    # ---- global optimization --------------------------------------------
+    def optimized_trajectory(self, iters: int = 10
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pose-graph solve over all keyframes; returns (times, t, q)."""
+        n = len(self.keyframes)
+        times = np.array([f.time for f in self.keyframes])
+        if n < 2 or not self.edges:
+            return (times, np.stack([f.t for f in self.keyframes]),
+                    np.stack([f.q for f in self.keyframes]))
+        e = len(self.edges)
+        graph = pg.PoseGraph(
+            q=jnp.asarray(np.stack([f.q for f in self.keyframes])),
+            t=jnp.asarray(np.stack([f.t for f in self.keyframes])),
+            edge_i=jnp.asarray([d["i"] for d in self.edges], jnp.int32),
+            edge_j=jnp.asarray([d["j"] for d in self.edges], jnp.int32),
+            q_meas=jnp.asarray(np.stack([d["q"] for d in self.edges])),
+            t_meas=jnp.asarray(np.stack([d["t"] for d in self.edges])),
+            rot_w=jnp.asarray([d["rot_w"] for d in self.edges], jnp.float32),
+            t_w=jnp.asarray([d["t_w"] for d in self.edges], jnp.float32),
+            edge_valid=jnp.ones(e, bool))
+        q, t = pg.optimize_pose_graph(graph, iters=iters)
+        return times, np.asarray(t), np.asarray(q)

@@ -41,8 +41,9 @@ class FrameRecord:
 
 
 class LivoPipeline:
-    def __init__(self, cfg: LivoConfig, vision=None):
+    def __init__(self, cfg: LivoConfig, vision=None, backend=None):
         self.cfg = cfg
+        self.backend = backend  # optional parallel.backend.MappingBackend
         self.engine = LioEngine(cfg)
         self.cutter = meas_mod.SweepCutter(cfg.sweep_interval)
         self.initializer = eskf_mod.ImuInitializer(
@@ -139,6 +140,10 @@ class LivoPipeline:
             if meas.rendering and meas.image is not None:
                 with self.timers.stage("vision_frame"):
                     self.vision.process_frame(self, meas, out)
+
+        if self.backend is not None:
+            with self.timers.stage("backend"):
+                self.backend.maybe_add_keyframe(self, out, meas)
 
         self.records.append(FrameRecord(
             time=meas.time_image,
