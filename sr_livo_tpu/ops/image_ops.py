@@ -97,8 +97,13 @@ def clahe(gray: jnp.ndarray, clip_limit: float, n_tiles: int,
     tiles = img.reshape(n_tiles, th, n_tiles, tw).transpose(0, 2, 1, 3)
     tiles = tiles.reshape(n_tiles * n_tiles, th * tw)
     q = jnp.clip(tiles.astype(jnp.int32), 0, n_bins - 1)
-    one_hot = jax.nn.one_hot(q, n_bins, dtype=jnp.float32)
-    hist = jnp.sum(one_hot, axis=1)                     # (T, bins)
+    # per-tile histogram via one flat scatter-add (a one-hot formulation
+    # materializes a (T, px, 256) tensor — hundreds of MB at VGA sizes)
+    n_t = n_tiles * n_tiles
+    flat_bins = (jnp.arange(n_t, dtype=jnp.int32)[:, None] * n_bins
+                 + q).reshape(-1)
+    hist = jnp.zeros((n_t * n_bins,), jnp.float32).at[flat_bins].add(1.0)
+    hist = hist.reshape(n_t, n_bins)
 
     # Clip + uniform redistribution (single pass, as OpenCV does).
     tile_px = th * tw

@@ -67,11 +67,14 @@ def fundamental_ransac(p0: jnp.ndarray, p1: jnp.ndarray, valid: jnp.ndarray,
         one = jnp.ones_like(x0)
         A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1,
                        x0, y0, one], axis=-1)           # (8, 9)
-        _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-        f = vt[-1].reshape(3, 3)
-        # rank-2 projection
-        u, s, v = jnp.linalg.svd(f)
-        f = (u * s.at[2].set(0.0)[None, :]) @ v
+        # Fix f33 = 1 and solve the 8x8 system (after the normalizing
+        # transform f33 ~ 1 holds for non-degenerate geometry) — batched
+        # small SVDs lower poorly on TPU, a dense solve does not.  Skipping
+        # the rank-2 projection only perturbs the Sampson scores slightly.
+        lhs = A[:, :8]
+        rhs = -A[:, 8]
+        f8 = jnp.linalg.solve(lhs + 1e-8 * jnp.eye(8, dtype=A.dtype), rhs)
+        f = jnp.concatenate([f8, jnp.ones(1, A.dtype)]).reshape(3, 3)
         return t1.T @ f @ t0
 
     fs = jax.vmap(solve_f)(idx)                         # (H, 3, 3)
