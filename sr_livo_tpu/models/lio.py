@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from sr_livo_tpu.models import eskf as eskf_mod
 from sr_livo_tpu.models.eskf import EskfState
-from sr_livo_tpu.ops import frame as frame_ops
 from sr_livo_tpu.ops import neighborhood as nb_ops
 from sr_livo_tpu.ops import voxel_map as vm
 from sr_livo_tpu.utils import lie

@@ -11,7 +11,7 @@ and the host only feeds padded sweep tensors and reads back the pose.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ maximum_tracked_points = 300, imageProcessing.cpp:14).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,6 @@ from sr_livo_tpu.config import LivoConfig
 from sr_livo_tpu.models import camera as cam_mod
 from sr_livo_tpu.ops import color_map as cm
 from sr_livo_tpu.ops import image_ops, lk, ransac
-from sr_livo_tpu.utils import lie
 
 
 class TrackState(NamedTuple):
@@ -77,6 +76,7 @@ class VisionModule:
                                      iters=sh.lk_iterations)
         self.prev_pyr = None
         self.prev_time = None
+        self._pre_jit = None
         self.first_data = True
         self.n_new_visited = jnp.int32(1)
         self._rng = jax.random.PRNGKey(7)
@@ -103,25 +103,35 @@ class VisionModule:
         ).astype(jnp.int32)
 
     # -- preprocessing --------------------------------------------------
-    def preprocess(self, image: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """uint8/float image -> (rgb f32 0..255 equalized, gray CLAHE)."""
-        img = jnp.asarray(image, jnp.float32)
-        if img.ndim == 2:
-            img = jnp.stack([img] * 3, axis=-1)
-        if float(np.asarray(img).max(initial=0.0)) <= 1.5:
-            img = img * 255.0
-        if (img.shape[0], img.shape[1]) != (self.rows, self.cols):
-            # resize via bilinear sampling grid
-            ys = jnp.linspace(0, img.shape[0] - 1, self.rows)
-            xs = jnp.linspace(0, img.shape[1] - 1, self.cols)
-            gu, gv = jnp.meshgrid(xs, ys)
-            img = image_ops.bilinear_sample(img, jnp.stack([gu, gv], -1))
+    def _preprocess_core(self, img: jnp.ndarray):
+        """Jitted tail: undistort + gray CLAHE + YCrCb equalize."""
         if self.ud_map is not None:
             img = image_ops.remap(img, self.ud_map)
         gray = image_ops.rgb_to_gray(img)
         gray = image_ops.clahe(gray, 3.0, min(self.n_tiles, 32))
         rgb = image_ops.equalize_color_ycrcb(img, min(self.n_tiles, 32))
         return rgb, gray
+
+    def preprocess(self, image: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """uint8/float image -> (rgb f32 0..255 equalized, gray CLAHE).
+
+        Host handles dtype/scale/resize (numpy, cheap); the device part is
+        one jitted program (eager dispatch through the device tunnel costs
+        milliseconds per op)."""
+        img = np.asarray(image, np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        if img.max(initial=0.0) <= 1.5:
+            img = img * 255.0
+        if (img.shape[0], img.shape[1]) != (self.rows, self.cols):
+            ys = np.clip(np.round(np.linspace(0, img.shape[0] - 1, self.rows))
+                         .astype(int), 0, img.shape[0] - 1)
+            xs = np.clip(np.round(np.linspace(0, img.shape[1] - 1, self.cols))
+                         .astype(int), 0, img.shape[1] - 1)
+            img = img[np.ix_(ys, xs)]
+        if self._pre_jit is None:
+            self._pre_jit = jax.jit(self._preprocess_core)
+        return self._pre_jit(jnp.asarray(img))
 
     # -- main per-rendering-frame entry ----------------------------------
     def process_frame(self, pipeline, meas, sweep_out):

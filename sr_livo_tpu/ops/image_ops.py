@@ -52,6 +52,49 @@ def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray,
             + fv * (1 - fu) * p10 + fv * fu * p11)
 
 
+def extract_patches(img: jnp.ndarray, top_left: jnp.ndarray,
+                    size: int) -> jnp.ndarray:
+    """Gather (M, size, size) contiguous patches from a 2-D image.
+
+    top_left: (M, 2) int32 (row, col).  Uses one XLA gather with 2-D slice
+    sizes — contiguous row slices are ~2 orders of magnitude cheaper on TPU
+    than per-element window gathers.  Start indices are clamped in-bounds
+    (XLA gather clip semantics)."""
+    ph = max(size - img.shape[0], 0)
+    pw = max(size - img.shape[1], 0)
+    if ph or pw:   # tiny pyramid levels can be smaller than the window
+        img = jnp.pad(img, ((0, ph), (0, pw)), mode="edge")
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    return jax.lax.gather(img, top_left, dn, slice_sizes=(size, size),
+                          mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def sample_windows_bilinear(img: jnp.ndarray, centers: jnp.ndarray,
+                            window: int) -> jnp.ndarray:
+    """Bilinear (M, window, window) windows centered at fractional pixel
+    positions `centers` (M, 2) as (u=x, v=y).
+
+    One contiguous (window+1)^2 patch gather per point + shifted-slice
+    bilinear blend (the TPU-friendly formulation of the reference's
+    per-pixel subpixel window reads, lkpyramid.cpp:231-334)."""
+    half = (window - 1) // 2
+    u = centers[:, 0] - half
+    v = centers[:, 1] - half
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[:, None, None]
+    fv = (v - v0)[:, None, None]
+    top_left = jnp.stack([v0.astype(jnp.int32), u0.astype(jnp.int32)],
+                         axis=-1)
+    p = extract_patches(img, top_left, window + 1)     # (M, W+1, W+1)
+    return ((1 - fv) * (1 - fu) * p[:, :window, :window]
+            + (1 - fv) * fu * p[:, :window, 1:]
+            + fv * (1 - fu) * p[:, 1:, :window]
+            + fv * fu * p[:, 1:, 1:])
+
+
 def make_undistort_map(intrinsic: np.ndarray, dist: np.ndarray,
                        size: Tuple[int, int]) -> np.ndarray:
     """Host-side (H, W, 2) source-pixel map for plumb-bob undistortion.

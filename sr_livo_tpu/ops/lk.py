@@ -13,7 +13,7 @@ them in the vision carry state.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,22 +29,16 @@ class LkParams(NamedTuple):
     min_eig_threshold: float = 1e-4
 
 
-def _window_offsets(window: int, dtype=jnp.float32) -> jnp.ndarray:
-    half = (window - 1) / 2.0
-    r = jnp.arange(window, dtype=dtype) - half
-    oy, ox = jnp.meshgrid(r, r, indexing="ij")
-    return jnp.stack([ox.ravel(), oy.ravel()], axis=-1)  # (W^2, 2) as (u, v)
-
-
 def _track_level(img_prev, img_cur, dx_prev, dy_prev, pts_prev, guess,
                  valid, params: LkParams):
     """One pyramid level: returns (new_guess, ok, min_eig)."""
-    offs = _window_offsets(params.window, pts_prev.dtype)   # (K, 2)
-    uv_prev = pts_prev[:, None, :] + offs[None, :, :]       # (M, K, 2)
-
-    i_prev = image_ops.bilinear_sample(img_prev, uv_prev)   # (M, K)
-    gx = image_ops.bilinear_sample(dx_prev, uv_prev)
-    gy = image_ops.bilinear_sample(dy_prev, uv_prev)
+    w = params.window
+    i_prev = image_ops.sample_windows_bilinear(img_prev, pts_prev, w)
+    gx = image_ops.sample_windows_bilinear(dx_prev, pts_prev, w)
+    gy = image_ops.sample_windows_bilinear(dy_prev, pts_prev, w)
+    i_prev = i_prev.reshape(i_prev.shape[0], -1)            # (M, W^2)
+    gx = gx.reshape(gx.shape[0], -1)
+    gy = gy.reshape(gy.shape[0], -1)
 
     a11 = jnp.sum(gx * gx, axis=-1)
     a12 = jnp.sum(gx * gy, axis=-1)
@@ -56,12 +50,12 @@ def _track_level(img_prev, img_cur, dx_prev, dy_prev, pts_prev, guess,
     ok_g = (min_eig > params.min_eig_threshold) & (det > 1e-12)
     det_safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
 
-    h, w = img_cur.shape
+    h, iw = img_cur.shape
 
     def body(_i, carry):
         g, live = carry
-        uv_cur = g[:, None, :] + offs[None, :, :]
-        i_cur = image_ops.bilinear_sample(img_cur, uv_cur)
+        i_cur = image_ops.sample_windows_bilinear(img_cur, g, w)
+        i_cur = i_cur.reshape(i_cur.shape[0], -1)
         diff = i_cur - i_prev
         b1 = jnp.sum(diff * gx, axis=-1)
         b2 = jnp.sum(diff * gy, axis=-1)
@@ -76,9 +70,9 @@ def _track_level(img_prev, img_cur, dx_prev, dy_prev, pts_prev, guess,
     guess, _ = jax.lax.fori_loop(0, params.iters, body, (guess, live0))
 
     half = (params.window - 1) / 2.0
-    inb = ((guess[:, 0] > half) & (guess[:, 0] < w - half - 1)
+    inb = ((guess[:, 0] > half) & (guess[:, 0] < iw - half - 1)
            & (guess[:, 1] > half) & (guess[:, 1] < h - half - 1))
-    inb_prev = ((pts_prev[:, 0] > half) & (pts_prev[:, 0] < w - half - 1)
+    inb_prev = ((pts_prev[:, 0] > half) & (pts_prev[:, 0] < iw - half - 1)
                 & (pts_prev[:, 1] > half) & (pts_prev[:, 1] < h - half - 1))
     return guess, ok_g & inb & inb_prev, min_eig
 
@@ -116,6 +110,7 @@ def track_pyramidal(prev_pyr: Tuple[jnp.ndarray, ...],
     return guess, status
 
 
+@functools.partial(jax.jit, static_argnames=("levels",))
 def precompute_frame(gray: jnp.ndarray, levels: int):
     """Build (pyramid, dx, dy) tuples for one frame (reused as `prev`)."""
     pyr = image_ops.build_pyramid(gray, levels)

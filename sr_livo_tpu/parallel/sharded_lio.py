@@ -24,7 +24,6 @@ from sr_livo_tpu.models import eskf as eskf_mod
 from sr_livo_tpu.models import lio as lio_mod
 from sr_livo_tpu.models.eskf import EskfState
 from sr_livo_tpu.models.odometry import SweepInput, SweepOutput
-from sr_livo_tpu.models import odometry as odo_mod
 from sr_livo_tpu.ops import frame as frame_ops
 from sr_livo_tpu.ops import neighborhood as nb_ops
 from sr_livo_tpu.ops import voxel_map as vm

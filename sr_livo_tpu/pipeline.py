@@ -12,7 +12,7 @@ Reference topology: lioOptimization::run()/process()
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax.numpy as jnp

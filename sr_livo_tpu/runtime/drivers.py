@@ -13,12 +13,11 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass
-from typing import Iterator, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from sr_livo_tpu.config import (LIDAR_LIVOX, LIDAR_OUSTER, LIDAR_ROBOSENSE,
-                                LIDAR_VELODYNE, LivoConfig)
+from sr_livo_tpu.config import (LIDAR_OUSTER, LIDAR_ROBOSENSE, LivoConfig)
 from sr_livo_tpu.runtime import native
 
 # PointField datatypes (sensor_msgs/PointField)

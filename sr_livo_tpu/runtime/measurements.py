@@ -12,7 +12,7 @@ tensors (SweepInput) with the exact boundary IMU interpolation of run()
 from __future__ import annotations
 
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np

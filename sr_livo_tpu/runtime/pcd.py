@@ -8,8 +8,6 @@ point with at least `minimum_views` color observations
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 
