@@ -173,6 +173,42 @@ int livo_process_livox(const float* xyz, const uint8_t* tag,
     return (int)m;
 }
 
+// Bilinear remap of an interleaved uint8 image by a precomputed float
+// source-coordinate map (the cv::remap of imageProcessing.cpp:120, with the
+// resize of :118 composed into the map).  Runs on the host CPU so the
+// (gather-heavy, TPU-unfriendly) undistortion overlaps device compute.
+// map_uv is (dh, dw, 2) float32 (u = src col, v = src row) in SOURCE pixels.
+int livo_remap_u8(const uint8_t* src, long sh, long sw, long channels,
+                  const float* map_uv, long dh, long dw, uint8_t* dst) {
+    if (channels < 1 || channels > 4) return -1;
+    const float max_u = (float)(sw - 1) - 1e-3f;
+    const float max_v = (float)(sh - 1) - 1e-3f;
+    for (long y = 0; y < dh; y++) {
+        const float* mrow = map_uv + y * dw * 2;
+        uint8_t* drow = dst + y * dw * channels;
+        for (long x = 0; x < dw; x++) {
+            float u = mrow[x * 2 + 0];
+            float v = mrow[x * 2 + 1];
+            u = u < 0.f ? 0.f : (u > max_u ? max_u : u);
+            v = v < 0.f ? 0.f : (v > max_v ? max_v : v);
+            long u0 = (long)u, v0 = (long)v;
+            float fu = u - (float)u0, fv = v - (float)v0;
+            const uint8_t* p00 = src + (v0 * sw + u0) * channels;
+            const uint8_t* p01 = p00 + channels;
+            const uint8_t* p10 = p00 + sw * channels;
+            const uint8_t* p11 = p10 + channels;
+            float w00 = (1.f - fv) * (1.f - fu), w01 = (1.f - fv) * fu;
+            float w10 = fv * (1.f - fu), w11 = fv * fu;
+            for (long c = 0; c < channels; c++) {
+                float val = w00 * p00[c] + w01 * p01[c]
+                          + w10 * p10[c] + w11 * p11[c];
+                drow[x * channels + c] = (uint8_t)(val + 0.5f);
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C" (point decoders)
 
 // ---------------------------------------------------------------------------

@@ -52,11 +52,20 @@ class VisionModule:
         dist = np.asarray(co.camera_dist_coeffs, np.float64)
         k = np.array([[self.intr0[0], 0, self.intr0[2]],
                       [0, self.intr0[1], self.intr0[3]], [0, 0, 1]])
+        self.orig_rows, self.orig_cols = int(co.image_height), int(co.image_width)
         if np.any(np.abs(dist) > 1e-12):
-            self.ud_map = jnp.asarray(image_ops.make_undistort_map(
-                k, dist, (self.rows, self.cols)))
+            ud = image_ops.make_undistort_map(k, dist, (self.rows, self.cols))
+            self.ud_map = jnp.asarray(ud)
+            # Composed resize+undistort map in ORIGINAL-image pixels for the
+            # host-native remap path (OpenCV pixel-center convention).
+            self.host_map = np.empty_like(ud)
+            self.host_map[..., 0] = ((ud[..., 0] + 0.5)
+                                     * (self.orig_cols / self.cols) - 0.5)
+            self.host_map[..., 1] = ((ud[..., 1] + 0.5)
+                                     * (self.orig_rows / self.rows) - 0.5)
         else:
             self.ud_map = None
+            self.host_map = None
         self.n_tiles = image_ops.clahe_tiles_for_width(self.cols)
 
         self.camera = cam_mod.init_camera_state(
@@ -77,6 +86,7 @@ class VisionModule:
         self.prev_pyr = None
         self.prev_time = None
         self._pre_jit = None
+        self._pre_u8_jit = None
         self.first_data = True
         self.n_new_visited = jnp.int32(1)
         self._rng = jax.random.PRNGKey(7)
@@ -112,12 +122,35 @@ class VisionModule:
         rgb = image_ops.equalize_color_ycrcb(img, min(self.n_tiles, 32))
         return rgb, gray
 
+    def _preprocess_from_u8(self, img_u8: jnp.ndarray):
+        """Jitted tail when undistortion already ran on the host: uint8
+        (already resized + undistorted) -> gray CLAHE + YCrCb equalize."""
+        img = img_u8.astype(jnp.float32)
+        gray = image_ops.rgb_to_gray(img)
+        gray = image_ops.clahe(gray, 3.0, min(self.n_tiles, 32))
+        rgb = image_ops.equalize_color_ycrcb(img, min(self.n_tiles, 32))
+        return rgb, gray
+
     def preprocess(self, image: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """uint8/float image -> (rgb f32 0..255 equalized, gray CLAHE).
 
         Host handles dtype/scale/resize (numpy, cheap); the device part is
         one jitted program (eager dispatch through the device tunnel costs
-        milliseconds per op)."""
+        milliseconds per op).  When the input is a full-resolution uint8
+        frame and a distortion model is set, the resize+undistort remap runs
+        in native C++ on the host (runtime.native.remap_u8) — the remap
+        gather pattern is the slowest op class on TPU and on the host it
+        overlaps device compute — and only the compact uint8 result crosses
+        the tunnel."""
+        img_in = np.asarray(image)
+        if (self.host_map is not None and img_in.dtype == np.uint8
+                and img_in.ndim == 3
+                and img_in.shape[:2] == (self.orig_rows, self.orig_cols)):
+            from sr_livo_tpu.runtime import native
+            und = native.remap_u8(img_in, self.host_map)
+            if self._pre_u8_jit is None:
+                self._pre_u8_jit = jax.jit(self._preprocess_from_u8)
+            return self._pre_u8_jit(jnp.asarray(und))
         img = np.asarray(image, np.float32)
         if img.ndim == 2:
             img = np.repeat(img[..., None], 3, axis=-1)

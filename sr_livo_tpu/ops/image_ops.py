@@ -160,7 +160,12 @@ def clahe(gray: jnp.ndarray, clip_limit: float, n_tiles: int,
     lut = cdf * (255.0 / tile_px)                       # (T, bins)
     lut = lut.reshape(n_tiles, n_tiles, n_bins)
 
-    # Per-pixel interpolation between the 4 surrounding tile LUTs.
+    # Per-pixel interpolation between the 4 surrounding tile LUTs,
+    # formulated as one-hot matmuls on the MXU: a per-pixel gather from a
+    # (T, T, 256) table is the slowest op class on TPU, while
+    # D[y, x, t] = sum_b onehot(q)[y, x, b] * LUT[ty(y), t, b] is two
+    # dense (W, 256) x (256, T) matmuls per row — ~11 GFLOP total, MXU
+    # territory — followed by a tiny weighted t-contraction.
     ys = jnp.arange(ph, dtype=jnp.float32)
     xs = jnp.arange(pw, dtype=jnp.float32)
     ty = (ys - th / 2.0 + 0.5) / th
@@ -170,18 +175,24 @@ def clahe(gray: jnp.ndarray, clip_limit: float, n_tiles: int,
     ty1 = jnp.clip(ty0 + 1, 0, n_tiles - 1)
     tx1 = jnp.clip(tx0 + 1, 0, n_tiles - 1)
     fy = jnp.clip(ty - ty0, 0.0, 1.0)[:, None]
-    fx = jnp.clip(tx - tx0, 0.0, 1.0)[None, :]
+    fx = jnp.clip(tx - tx0, 0.0, 1.0)
 
     qimg = jnp.clip(img.astype(jnp.int32), 0, n_bins - 1)
-    def _lut_at(tyi, txi):
-        # gather LUT values: (ph, pw)
-        return lut[tyi[:, None], txi[None, :], qimg]
-    v00 = _lut_at(ty0, tx0)
-    v01 = _lut_at(ty0, tx1)
-    v10 = _lut_at(ty1, tx0)
-    v11 = _lut_at(ty1, tx1)
-    out = ((1 - fy) * (1 - fx) * v00 + (1 - fy) * fx * v01
-           + fy * (1 - fx) * v10 + fy * fx * v11)
+    oh = (qimg[..., None] == jnp.arange(n_bins, dtype=jnp.int32)
+          ).astype(img.dtype)                           # (ph, pw, bins)
+    # x-side blend folded into a dense (pw, T) weight matrix.
+    w_x = (jnp.zeros((pw, n_tiles), img.dtype)
+           .at[jnp.arange(pw), tx0].add(1.0 - fx)
+           .at[jnp.arange(pw), tx1].add(fx))
+    ly0 = jnp.take(lut, ty0, axis=0)                    # (ph, T, bins)
+    ly1 = jnp.take(lut, ty1, axis=0)
+    d0 = jnp.einsum("yxb,ytb->yxt", oh, ly0,
+                    preferred_element_type=img.dtype)   # (ph, pw, T)
+    d1 = jnp.einsum("yxb,ytb->yxt", oh, ly1,
+                    preferred_element_type=img.dtype)
+    out0 = jnp.einsum("yxt,xt->yx", d0, w_x)
+    out1 = jnp.einsum("yxt,xt->yx", d1, w_x)
+    out = (1 - fy) * out0 + fy * out1
     return out[:h, :w]
 
 

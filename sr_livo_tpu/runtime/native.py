@@ -66,6 +66,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.POINTER(c.c_float), c.c_char_p, c.c_char_p,
             c.POINTER(c.c_uint32), c.c_long, c.c_int, c.c_int, c.c_double,
             c.c_double, c.POINTER(c.c_double), c.POINTER(c.c_double)]
+        lib.livo_remap_u8.restype = c.c_int
+        lib.livo_remap_u8.argtypes = [
+            c.POINTER(c.c_uint8), c.c_long, c.c_long, c.c_long,
+            c.POINTER(c.c_float), c.c_long, c.c_long, c.POINTER(c.c_uint8)]
         lib.livo_bag_open.restype = c.c_void_p
         lib.livo_bag_open.argtypes = [c.c_char_p]
         lib.livo_bag_next.restype = c.c_int
@@ -87,6 +91,49 @@ def get_lib() -> Optional[ctypes.CDLL]:
 # ---------------------------------------------------------------------------
 # Decoders (native with numpy fallback)
 # ---------------------------------------------------------------------------
+
+def remap_u8(src: np.ndarray, map_uv: np.ndarray) -> np.ndarray:
+    """Bilinear remap of a uint8 (H, W, C) image by a float32 (dh, dw, 2)
+    source-coordinate map — the host-side cv::remap equivalent
+    (imageProcessing.cpp:120 with the :118 resize composed in).
+
+    Runs in native C++ when available (the gather pattern is the slowest
+    op class on TPU; on the host it overlaps device compute)."""
+    src = np.ascontiguousarray(src)
+    if src.ndim == 2:
+        src = src[..., None]
+    sh, sw, ch = src.shape
+    dh, dw = map_uv.shape[0], map_uv.shape[1]
+    lib = get_lib()
+    if lib is not None and src.dtype == np.uint8:
+        m32 = np.ascontiguousarray(map_uv, np.float32)
+        out = np.empty((dh, dw, ch), np.uint8)
+        rc = lib.livo_remap_u8(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sh, sw, ch,
+            m32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dh, dw,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc == 0:
+            return out if ch > 1 else out[..., 0]
+    # numpy fallback (vectorized)
+    u = np.clip(map_uv[..., 0], 0.0, sw - 1.001)
+    v = np.clip(map_uv[..., 1], 0.0, sh - 1.001)
+    u0 = u.astype(np.int32)
+    v0 = v.astype(np.int32)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    p00 = src[v0, u0].astype(np.float32)
+    p01 = src[v0, u0 + 1].astype(np.float32)
+    p10 = src[v0 + 1, u0].astype(np.float32)
+    p11 = src[v0 + 1, u0 + 1].astype(np.float32)
+    out = ((1 - fv) * (1 - fu) * p00 + (1 - fv) * fu * p01
+           + fv * (1 - fu) * p10 + fv * fu * p11)
+    if src.dtype == np.uint8:
+        out = np.clip(out + 0.5, 0, 255).astype(np.uint8)
+    else:
+        out = out.astype(src.dtype)
+    return out if ch > 1 else out[..., 0]
 
 def decode_xyzt(data: bytes, n: int, step: int, off_x: int, off_y: int,
                 off_z: int, off_t: int, t_dtype: int,

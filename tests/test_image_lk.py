@@ -135,3 +135,57 @@ def test_equalize_color_preserves_shape():
     out = np.asarray(image_ops.equalize_color_ycrcb(img, 4))
     assert out.shape == (64, 96, 3)
     assert out.min() >= 0 and out.max() <= 255
+
+
+def test_native_remap_matches_device_remap():
+    """Host remap_u8 (native C++ or numpy fallback) vs the jnp remap."""
+    import jax.numpy as jnp
+    from sr_livo_tpu.ops import image_ops
+    from sr_livo_tpu.runtime import native
+
+    rng = np.random.RandomState(3)
+    h, w = 48, 64
+    img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+    # smooth random map staying in-bounds
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    m = np.stack([xs + 2.0 * np.sin(ys / 7.0),
+                  ys + 1.5 * np.cos(xs / 9.0)], -1).astype(np.float32)
+    m[..., 0] = np.clip(m[..., 0], 0, w - 1.01)
+    m[..., 1] = np.clip(m[..., 1], 0, h - 1.01)
+
+    out_host = native.remap_u8(img, m).astype(np.float32)
+    out_dev = np.asarray(image_ops.remap(
+        jnp.asarray(img, jnp.float32), jnp.asarray(m)))
+    assert np.max(np.abs(out_host - out_dev)) <= 1.0  # uint8 rounding
+
+
+def test_vision_preprocess_host_path_matches_device_path():
+    """Full-res uint8 frame through the native remap path vs the device
+    remap path used for float inputs."""
+    from sr_livo_tpu.config import LivoConfig
+    from sr_livo_tpu.models.vision import VisionModule
+
+    cfg = LivoConfig()
+    cfg.camera_options.image_width = 64
+    cfg.camera_options.image_height = 48
+    cfg.camera_options.image_scale = 0.5
+    cfg.camera_options.camera_intrinsic = [
+        40.0, 0.0, 32.0, 0.0, 40.0, 24.0, 0, 0, 1]
+    cfg.camera_options.camera_dist_coeffs = [-0.05, 0.01, 0.0, 0.0, 0.0]
+    vmod = VisionModule(cfg)
+    assert vmod.host_map is not None
+
+    # smooth texture: the two paths resize differently (host bilinear
+    # composed map vs nearest + device remap), which only agrees on
+    # band-limited content
+    base = np.clip(_texture(48, 64)[..., None]
+                   * np.array([1.0, 0.9, 0.8]), 0, 255).astype(np.uint8)
+    rgb_h, gray_h = vmod.preprocess(base)            # host remap path
+    rgb_d, gray_d = vmod.preprocess(base.astype(np.float32))  # device path
+    # CLAHE is a steep per-tile mapping, so a sub-pixel resampling
+    # difference (uint8 rounding + resize convention) can move an output
+    # value by a few gray levels; compare the bulk of the image.
+    diff_g = np.abs(np.asarray(gray_h) - np.asarray(gray_d))
+    diff_c = np.abs(np.asarray(rgb_h) - np.asarray(rgb_d))
+    assert np.median(diff_g) <= 6.0
+    assert np.median(diff_c) <= 8.0
