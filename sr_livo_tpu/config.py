@@ -164,7 +164,11 @@ class ShapeOptions:
     # Geometry voxel map (1.0 m voxels)
     map_capacity: int = 1 << 18         # hash slots
     map_voxel_points: int = 20          # == max_num_points_in_voxel
-    map_max_probe: int = 16             # linear-probe bound
+    map_max_probe: int = 8              # linear-probe bound (tables are
+                                        # sized for load < ~0.25, where
+                                        # chains beyond 8 are vanishing;
+                                        # probe gathers are a dominant TPU
+                                        # cost so the bound is kept tight)
     max_insert_points: int = 2048       # per-sweep insertion budget
     # Color map registry (0.1 m voxels)
     color_capacity: int = 1 << 19

@@ -97,8 +97,10 @@ class VisionModule:
                             valid: jnp.ndarray, obs_time: float):
         step = self.cfg.map_options.add_point_step
         if step > 1:
-            sel = (jnp.arange(pts_world.shape[0]) % step) == 0
-            valid = valid & sel
+            # static stride compaction: a 4x smaller batch means 4x fewer
+            # probe gathers (the dominant insert cost on TPU) vs masking
+            pts_world = pts_world[::step]
+            valid = valid[::step]
         before = self.color_map.vox_last_visit
         self.color_map = cm.color_insert(
             self.color_map, pts_world, valid, obs_time,
@@ -225,7 +227,7 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
                  estimate_intrinsic, estimate_extrinsic):
     """One fused device program for the whole vision frame."""
     m = tracks.reg_id.shape[0]
-    registry = color_map.pos.shape[0]
+    registry = color_map.reg.shape[0]
     prev_imgs, prev_dx, prev_dy = prev_pyr
     cur_imgs, _, _ = cur_pyr
 
@@ -247,12 +249,17 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     vel = (cur_px - tracks.px) / jnp.maximum(dt, 1e-5)
     vel = jnp.where(dt < 1e-5, jnp.full_like(vel, 1e-3), vel)
     ids_c = jnp.clip(tracks.reg_id, 0, registry - 1)
+    # one packed-row gather serves the whole step (pos/rgb/cov/n/vel/out)
+    reg_rows = color_map.reg[ids_c]                         # (M, 16)
+    reg_rows = reg_rows.at[:, cm.C_VEL].set(
+        jnp.where(status[:, None], vel, reg_rows[:, cm.C_VEL]))
+    oob = registry + jnp.arange(m, dtype=jnp.int32)
     color_map = color_map._replace(
-        img_vel=color_map.img_vel.at[
-            jnp.where(status, ids_c, registry)].set(vel, mode="drop"))
+        reg=color_map.reg.at[jnp.where(status, ids_c, oob)].set(
+            reg_rows, mode="drop", unique_indices=True))
 
     # ---- 4. PnP RANSAC outlier gate (removeOutlierUsingRansacPnp) ----
-    pts_world = color_map.pos[ids_c]
+    pts_world = reg_rows[:, cm.C_POS]
     _, _, q_cw0, t_cw0 = cam_mod.world_camera_pose(camera, q_wi, t_wi)
     pnp_inl, _q, _t = ransac.pnp_ransac(
         pts_world, cur_px, status, q_cw0, t_cw0, camera.intr, key_pnp)
@@ -260,7 +267,7 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     enough = jnp.sum(status) >= cam_mod.MIN_ITERATION_POINTS
 
     # ---- 5. 11-dof reprojection ESIKF ----
-    img_vel_pts = color_map.img_vel[ids_c]
+    img_vel_pts = reg_rows[:, cm.C_VEL]
     camera, _ok1 = cam_mod.vio_esikf(
         camera, q_wi, t_wi, pts_world, cur_px, img_vel_pts,
         status & enough, n_new_visited,
@@ -270,8 +277,8 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     # ---- 6. 6-dof photometric ESIKF ----
     camera, _ok2 = cam_mod.vio_photometric(
         camera, q_wi, t_wi, rgb_img, pts_world,
-        color_map.rgb[ids_c], color_map.cov_rgb[ids_c],
-        color_map.n_rgb[ids_c], img_vel_pts, status & enough,
+        reg_rows[:, cm.C_RGB], reg_rows[:, cm.C_COV],
+        reg_rows[:, cm.C_NRGB], img_vel_pts, status & enough,
         n_new_visited)
 
     # ---- 7. render recent voxels with the refined pose ----
@@ -284,14 +291,16 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     proj_uv, z_ok, _pc = cm.project_points(pts_world, q_cw, t_cw, camera.intr)
     reproj_err = jnp.linalg.norm(proj_uv - cur_px, axis=-1)
     max_err = 2.0 * cols / 320.0
-    oc = color_map.outlier_count[ids_c]
+    oc = reg_rows[:, cm.C_OUT]                # unchanged by steps 3-7
     bad = status & (reproj_err > max_err)
     drop = bad & ((oc > 0) | (reproj_err > 2 * max_err))
-    oc_new = jnp.where(bad & ~drop, oc + 1, jnp.where(status, 0, oc))
+    oc_new = jnp.where(bad & ~drop, oc + 1, jnp.where(status, 0.0, oc))
+    # re-gather post-render rows so the outlier-column write does not
+    # clobber the renderer's rgb/cov updates for tracked ids
+    rows_post = color_map.reg[ids_c].at[:, cm.C_OUT].set(oc_new)
     color_map = color_map._replace(
-        outlier_count=color_map.outlier_count.at[
-            jnp.where(tracks.active, ids_c, registry)].set(
-                oc_new, mode="drop"))
+        reg=color_map.reg.at[jnp.where(tracks.active, ids_c, oob)].set(
+            rows_post, mode="drop", unique_indices=True))
     keep = status & ~drop
 
     # occupancy grid of surviving tracks

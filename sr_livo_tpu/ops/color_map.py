@@ -32,17 +32,25 @@ IMAGE_OBS_COV = 15.0
 PROCESS_NOISE_SIGMA = 0.1
 
 
+# Packed-registry column layout: every per-point field lives in one
+# (R, 16) f32 row so the render path does ONE row gather + ONE row scatter
+# instead of 5 + 5 per-field ops (random row access is the scarce resource
+# on TPU; a 16-wide f32 row is one vector register lane group).
+C_RGB = slice(0, 3)
+C_COV = slice(3, 6)
+C_POS = slice(6, 9)
+C_NRGB = 9            # observation count (exact in f32 below 2^24)
+C_DIST = 10
+C_TIME = 11
+C_VEL = slice(12, 14)
+C_OUT = 14            # outlier count
+C_VALID = 15          # 0.0 / 1.0
+REG_WIDTH = 16
+
+
 class ColorMap(NamedTuple):
-    # registry (SoA), capacity R
-    pos: jnp.ndarray            # (R, 3) f32
-    rgb: jnp.ndarray            # (R, 3) f32, 0..255
-    cov_rgb: jnp.ndarray        # (R, 3) f32
-    n_rgb: jnp.ndarray          # (R,) int32
-    obs_dist: jnp.ndarray       # (R,) f32
-    last_obs_time: jnp.ndarray  # (R,) f32
-    img_vel: jnp.ndarray        # (R, 2) f32
-    outlier_count: jnp.ndarray  # (R,) int32
-    reg_valid: jnp.ndarray      # (R,) bool
+    # packed registry, capacity R
+    reg: jnp.ndarray            # (R, 16) f32, columns per C_* above
     count: jnp.ndarray          # () int32 allocated ids (including holes)
     # color voxel table (point_ids -> registry ids)
     vox: vm.VoxelMap
@@ -52,19 +60,48 @@ class ColorMap(NamedTuple):
     # immaterial for a visualization map)
     dedup_sig: jnp.ndarray       # (D,) uint32
 
+    # ---- column views (convenience accessors; slices are cheap in XLA) --
+    @property
+    def pos(self):
+        return self.reg[:, C_POS]
+
+    @property
+    def rgb(self):
+        return self.reg[:, C_RGB]
+
+    @property
+    def cov_rgb(self):
+        return self.reg[:, C_COV]
+
+    @property
+    def n_rgb(self):
+        return self.reg[:, C_NRGB].astype(jnp.int32)
+
+    @property
+    def obs_dist(self):
+        return self.reg[:, C_DIST]
+
+    @property
+    def last_obs_time(self):
+        return self.reg[:, C_TIME]
+
+    @property
+    def img_vel(self):
+        return self.reg[:, C_VEL]
+
+    @property
+    def outlier_count(self):
+        return self.reg[:, C_OUT].astype(jnp.int32)
+
+    @property
+    def reg_valid(self):
+        return self.reg[:, C_VALID] > 0.5
+
 
 def make_color_map(registry: int, capacity: int, voxel_points: int,
                    dtype=jnp.float32) -> ColorMap:
     return ColorMap(
-        pos=jnp.zeros((registry, 3), dtype),
-        rgb=jnp.zeros((registry, 3), dtype),
-        cov_rgb=jnp.zeros((registry, 3), dtype),
-        n_rgb=jnp.zeros((registry,), jnp.int32),
-        obs_dist=jnp.zeros((registry,), dtype),
-        last_obs_time=jnp.zeros((registry,), dtype),
-        img_vel=jnp.zeros((registry, 2), dtype),
-        outlier_count=jnp.zeros((registry,), jnp.int32),
-        reg_valid=jnp.zeros((registry,), bool),
+        reg=jnp.zeros((registry, REG_WIDTH), dtype),
         count=jnp.int32(0),
         vox=vm.make_map(capacity, voxel_points, dtype),
         vox_last_visit=jnp.full((capacity,), -1.0, dtype),
@@ -77,8 +114,10 @@ def _claim_dedup(dedup_sig: jnp.ndarray, coords: jnp.ndarray,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Claim cells in the signature-only dedup set.  Returns
     (new_sig, is_new): is_new[i] True iff point i claimed a previously-
-    absent cell (and is the batch winner for it).  Same leader-election +
-    scatter-min arbitration as the voxel-map insert."""
+    absent cell (and is the batch winner for it).  Scatter-min arbitration
+    elects one winner per cell (as in the voxel-map insert); a same-cell
+    loser matches the winner's signature on its next probe and resolves
+    as a duplicate."""
     cap = dedup_sig.shape[0]
     n = coords.shape[0]
     base = vm.voxel_hash(coords, cap)
@@ -88,7 +127,7 @@ def _claim_dedup(dedup_sig: jnp.ndarray, coords: jnp.ndarray,
     sig = dedup_sig
     is_new = jnp.zeros((n,), bool)
     resolved = ~valid
-    for _r in range(3):
+    for _r in range(2):
         cand = (base[:, None] + offs) & (cap - 1)
         g = sig[cand]
         match = jnp.any(g == want[:, None], axis=-1)
@@ -97,17 +136,11 @@ def _claim_dedup(dedup_sig: jnp.ndarray, coords: jnp.ndarray,
         ei = jnp.where(has_empty, jnp.argmax(empty, -1), max_probe)
         resolved = resolved | match          # duplicate (pre-existing or
         unres = ~resolved & (ei < max_probe)  # claimed by an earlier winner)
-        # leader election per distinct cell signature
-        sk = jnp.where(unres, want, vm.SIG_EMPTY)
-        so = jnp.argsort(sk)
-        ks = sk[so]
-        first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-        leader = jnp.zeros((n,), bool).at[so].set(first) & unres
         tgt = jnp.take_along_axis(
             cand, jnp.minimum(ei, max_probe - 1)[:, None], -1)[..., 0]
         claim = jnp.full((cap,), n, jnp.int32).at[
-            jnp.where(leader, tgt, cap)].min(idx_n, mode="drop")
-        winner = leader & (claim[tgt] == idx_n)
+            jnp.where(unres, tgt, cap)].min(idx_n, mode="drop")
+        winner = unres & (claim[tgt] == idx_n)
         sig = sig.at[jnp.where(winner, tgt, cap + idx_n)].set(
             want, mode="drop", unique_indices=True)
         is_new = is_new | winner
@@ -141,9 +174,10 @@ def color_insert(cmap: ColorMap, pts: jnp.ndarray, valid: jnp.ndarray,
         budget=budget)
 
     safe_ids = jnp.where(accepted, ids, registry)
-    pos = cmap.pos.at[safe_ids].set(pts, mode="drop")
-    reg_valid = cmap.reg_valid.at[safe_ids].set(True, mode="drop")
-    n_rgb = cmap.n_rgb.at[safe_ids].set(0, mode="drop")
+    rows = jnp.zeros((pts.shape[0], REG_WIDTH), cmap.reg.dtype)
+    rows = rows.at[:, C_POS].set(pts)
+    rows = rows.at[:, C_VALID].set(1.0)
+    reg = cmap.reg.at[safe_ids].set(rows, mode="drop")
     count = cmap.count + jnp.sum(cand.astype(jnp.int32))
 
     # recent-visited tracking: every candidate point's voxel slot
@@ -154,9 +188,8 @@ def color_insert(cmap: ColorMap, pts: jnp.ndarray, valid: jnp.ndarray,
         jnp.where(ok, slots, cmap.vox_last_visit.shape[0])].set(
             jnp.asarray(obs_time, cmap.vox_last_visit.dtype), mode="drop")
 
-    return cmap._replace(pos=pos, reg_valid=reg_valid, n_rgb=n_rgb,
-                         count=count, vox=vox_new, vox_last_visit=visit,
-                         dedup_sig=dedup_sig)
+    return cmap._replace(reg=reg, count=count, vox=vox_new,
+                         vox_last_visit=visit, dedup_sig=dedup_sig)
 
 
 def project_points(pts: jnp.ndarray, q_cw: jnp.ndarray, t_cw: jnp.ndarray,
@@ -185,18 +218,23 @@ def in_fov(uv: jnp.ndarray, cols: int, rows: int,
 
 def update_rgb(cmap: ColorMap, ids: jnp.ndarray, obs_rgb: jnp.ndarray,
                obs_dist: jnp.ndarray, obs_time, upd_mask: jnp.ndarray,
-               obs_sigma: float = IMAGE_OBS_COV) -> ColorMap:
-    """Vectorized rgbPoint::updateRgb (cloudMap.cpp:59-100) over unique ids."""
-    registry = cmap.pos.shape[0]
-    safe = jnp.where(upd_mask, ids, registry)
+               obs_sigma: float = IMAGE_OBS_COV,
+               rows: jnp.ndarray = None) -> ColorMap:
+    """Vectorized rgbPoint::updateRgb (cloudMap.cpp:59-100) over unique ids.
 
-    cur_rgb = cmap.rgb[jnp.clip(ids, 0, registry - 1)]
-    cur_cov = cmap.cov_rgb[jnp.clip(ids, 0, registry - 1)]
-    cur_n = cmap.n_rgb[jnp.clip(ids, 0, registry - 1)]
-    cur_dist = cmap.obs_dist[jnp.clip(ids, 0, registry - 1)]
-    cur_time = cmap.last_obs_time[jnp.clip(ids, 0, registry - 1)]
+    One packed row gather + one packed row scatter; `rows` optionally
+    passes pre-gathered registry rows (reg[clip(ids)]) from the caller."""
+    registry = cmap.reg.shape[0]
+    if rows is None:
+        rows = cmap.reg[jnp.clip(ids, 0, registry - 1)]
 
-    obs_time = jnp.asarray(obs_time, cmap.pos.dtype)
+    cur_rgb = rows[:, C_RGB]
+    cur_cov = rows[:, C_COV]
+    cur_n = rows[:, C_NRGB]
+    cur_dist = rows[:, C_DIST]
+    cur_time = rows[:, C_TIME]
+
+    obs_time = jnp.asarray(obs_time, cmap.reg.dtype)
     # occlusion gate (cloudMap.cpp:61-64)
     gate = (cur_dist == 0) | (obs_dist <= cur_dist * 1.2)
     mask = upd_mask & gate
@@ -214,19 +252,22 @@ def update_rgb(cmap: ColorMap, ids: jnp.ndarray, obs_rgb: jnp.ndarray,
     rgb_fused = (new_cov * new_cov
                  * (cur_rgb / (cov_pn * cov_pn) + obs_rgb / (obs_sigma ** 2)))
 
-    rgb_new = jnp.where(first[..., None], rgb_first, rgb_fused)
-    cov_new = jnp.where(first[..., None], cov_first, new_cov)
-    dist_new = jnp.where(first, obs_dist, jnp.minimum(cur_dist, obs_dist))
-    n_new = cur_n + 1
+    rows_new = rows
+    rows_new = rows_new.at[:, C_RGB].set(
+        jnp.where(first[..., None], rgb_first, rgb_fused))
+    rows_new = rows_new.at[:, C_COV].set(
+        jnp.where(first[..., None], cov_first, new_cov))
+    rows_new = rows_new.at[:, C_NRGB].set(cur_n + 1)
+    rows_new = rows_new.at[:, C_DIST].set(
+        jnp.where(first, obs_dist, jnp.minimum(cur_dist, obs_dist)))
+    rows_new = rows_new.at[:, C_TIME].set(obs_time)
 
-    sel = jnp.where(mask, safe, registry)
-    rgb = cmap.rgb.at[sel].set(rgb_new, mode="drop")
-    cov = cmap.cov_rgb.at[sel].set(cov_new, mode="drop")
-    n = cmap.n_rgb.at[sel].set(n_new, mode="drop")
-    dist = cmap.obs_dist.at[sel].set(dist_new, mode="drop")
-    t = cmap.last_obs_time.at[sel].set(obs_time, mode="drop")
-    return cmap._replace(rgb=rgb, cov_rgb=cov, n_rgb=n, obs_dist=dist,
-                         last_obs_time=t)
+    # distinct out-of-bounds indices for dropped rows (unique_indices holds:
+    # valid ids are unique — each registry id lives in one voxel slot)
+    sel = jnp.where(mask, ids,
+                    registry + jnp.arange(ids.shape[0], dtype=jnp.int32))
+    reg = cmap.reg.at[sel].set(rows_new, mode="drop", unique_indices=True)
+    return cmap._replace(reg=reg)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -250,16 +291,18 @@ def render_recent(cmap: ColorMap, image: jnp.ndarray, q_cw: jnp.ndarray,
     id_ok = (jnp.arange(K)[None, :] < cnt[:, None]) & (ids >= 0)
     ids = ids.reshape(-1)
     id_ok = id_ok.reshape(-1)
-    registry = cmap.pos.shape[0]
+    registry = cmap.reg.shape[0]
     ids_c = jnp.clip(ids, 0, registry - 1)
-    id_ok = id_ok & cmap.reg_valid[ids_c]
+    reg_rows = cmap.reg[ids_c]                              # ONE row gather
+    id_ok = id_ok & (reg_rows[:, C_VALID] > 0.5)
 
-    pts = cmap.pos[ids_c]
+    pts = reg_rows[:, C_POS]
     uv, z_ok, _pc = project_points(pts, q_cw, t_cw, intr)
     vis = id_ok & z_ok & in_fov(uv, cols, rows, fov_margin)
     color = image_ops.bilinear_sample(image, uv)
     depth = jnp.linalg.norm(pts - t_wc_world[None, :], axis=-1)
-    return update_rgb(cmap, ids_c, color, depth, obs_time, vis)
+    return update_rgb(cmap, ids_c, color, depth, obs_time, vis,
+                      rows=reg_rows)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -286,11 +329,12 @@ def select_points_for_projection(cmap: ColorMap, q_cw: jnp.ndarray,
     slot_ok = recent[slot_idx] & (cmap.vox.counts[slot_idx] > 0)
     last = jnp.maximum(cmap.vox.counts[slot_idx] - 1, 0)
     ids = cmap.vox.point_ids[slot_idx, last]                # newest per voxel
-    registry = cmap.pos.shape[0]
+    registry = cmap.reg.shape[0]
     ids_c = jnp.clip(ids, 0, registry - 1)
-    ok = slot_ok & (ids >= 0) & cmap.reg_valid[ids_c]
+    reg_rows = cmap.reg[ids_c]
+    ok = slot_ok & (ids >= 0) & (reg_rows[:, C_VALID] > 0.5)
 
-    pts = cmap.pos[ids_c]
+    pts = reg_rows[:, C_POS]
     depth = jnp.linalg.norm(pts - t_wc_world[None, :], axis=-1)
     uv, z_ok, _ = project_points(pts, q_cw, t_cw, intr)
     ok = (ok & z_ok & in_fov(uv, cols, rows, fov_margin)

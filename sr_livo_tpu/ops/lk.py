@@ -27,11 +27,23 @@ class LkParams(NamedTuple):
     iters: int = 10
     eps: float = 0.05
     min_eig_threshold: float = 1e-4
+    patch_buffer: int = 6      # in-patch motion margin per level (pixels)
 
 
 def _track_level(img_prev, img_cur, dx_prev, dy_prev, pts_prev, guess,
                  valid, params: LkParams):
-    """One pyramid level: returns (new_guess, ok, min_eig)."""
+    """One pyramid level: returns (new_guess, ok, min_eig).
+
+    TPU formulation: the current-image window is re-sampled every
+    Gauss-Newton iteration at a moving fractional position — as a gather
+    that is the slowest op class on TPU.  Instead we gather ONE
+    (W+1+2B)^2 patch per point per level and extract each iteration's
+    bilinear window from it with two small selection matmuls
+    (window = S_v @ patch @ S_u^T, where S encodes the bilinear weights),
+    keeping the whole solver loop on the VPU/MXU.  A point whose iterate
+    drifts more than B pixels inside one level samples a clamped window
+    (tracking of such points generally fails the residual gates anyway).
+    """
     w = params.window
     i_prev = image_ops.sample_windows_bilinear(img_prev, pts_prev, w)
     gx = image_ops.sample_windows_bilinear(dx_prev, pts_prev, w)
@@ -51,11 +63,42 @@ def _track_level(img_prev, img_cur, dx_prev, dy_prev, pts_prev, guess,
     det_safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
 
     h, iw = img_cur.shape
+    half = (w - 1) // 2
+    buf = params.patch_buffer
+    p_sz = w + 1 + 2 * buf
+    m = guess.shape[0]
 
-    def body(_i, carry):
-        g, live = carry
-        i_cur = image_ops.sample_windows_bilinear(img_cur, g, w)
-        i_cur = i_cur.reshape(i_cur.shape[0], -1)
+    # One contiguous patch per point around the level-entry guess.
+    tl_u = jnp.floor(guess[:, 0] - half).astype(jnp.int32) - buf
+    tl_v = jnp.floor(guess[:, 1] - half).astype(jnp.int32) - buf
+    tl_u = jnp.clip(tl_u, 0, max(iw - p_sz, 0))
+    tl_v = jnp.clip(tl_v, 0, max(h - p_sz, 0))
+    patch = image_ops.extract_patches(
+        img_cur, jnp.stack([tl_v, tl_u], axis=-1), p_sz)    # (M, P, P)
+
+    win_idx = jnp.arange(w, dtype=jnp.float32)
+    p_idx = jnp.arange(p_sz, dtype=jnp.float32)
+
+    def _sel_matrix(off):
+        """(M, W, P) bilinear selection rows: S[m, i, p] picks patch
+        column/row floor(off)+i with weight (1-f), +1 with weight f."""
+        o0 = jnp.floor(off)
+        f = (off - o0)[:, None, None]
+        pos = o0[:, None, None] + win_idx[None, :, None]     # (M, W, 1)
+        d = p_idx[None, None, :] - pos                       # (M, W, P)
+        return jnp.where(d == 0.0, 1.0 - f, 0.0) + jnp.where(d == 1.0, f, 0.0)
+
+    max_off = jnp.float32(p_sz - w - 1) - 1e-3
+
+    def body(carry):
+        g, live, it = carry
+        ou = jnp.clip(g[:, 0] - half - tl_u, 0.0, max_off)
+        ov = jnp.clip(g[:, 1] - half - tl_v, 0.0, max_off)
+        s_u = _sel_matrix(ou)                                # (M, W, P)
+        s_v = _sel_matrix(ov)
+        rows = jnp.einsum("mip,mpq->miq", s_v, patch)        # (M, W, P)
+        i_cur = jnp.einsum("miq,mjq->mij", rows, s_u)        # (M, W, W)
+        i_cur = i_cur.reshape(m, -1)
         diff = i_cur - i_prev
         b1 = jnp.sum(diff * gx, axis=-1)
         b2 = jnp.sum(diff * gy, axis=-1)
@@ -64,10 +107,15 @@ def _track_level(img_prev, img_cur, dx_prev, dy_prev, pts_prev, guess,
         delta = jnp.stack([du, dv], axis=-1)
         g_new = jnp.where(live[:, None], g + delta, g)
         live = live & (jnp.sum(delta * delta, axis=-1) >= params.eps ** 2)
-        return g_new, live
+        return g_new, live, it + 1
+
+    def cond(carry):
+        _g, live, it = carry
+        return (it < params.iters) & jnp.any(live)
 
     live0 = ok_g & valid
-    guess, _ = jax.lax.fori_loop(0, params.iters, body, (guess, live0))
+    guess, _, _ = jax.lax.while_loop(cond, body,
+                                     (guess, live0, jnp.int32(0)))
 
     half = (params.window - 1) / 2.0
     inb = ((guess[:, 0] > half) & (guess[:, 0] < iw - half - 1)

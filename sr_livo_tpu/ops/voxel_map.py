@@ -181,36 +181,48 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
 
     # Phase 2 — cheap full-batch gate: min-distance vs the block's current
     # points + block-not-full, and claim eligibility for absent voxels.
-    blk_pts = vmap.points[safe_slot]                      # (n, K, 3)
-    blk_cnt = vmap.counts[safe_slot]                      # (n,)
-    occ = jnp.arange(K)[None, :] < blk_cnt[:, None]
-    d2 = jnp.sum((blk_pts - pts[:, None, :]) ** 2, axis=-1)
-    min_d2 = jnp.min(jnp.where(occ, d2, jnp.inf), axis=-1)
-    far_enough = min_d2 > (min_distance * min_distance)
+    blk_cnt = jnp.where(has_slot, vmap.counts[safe_slot], 0)   # (n,)
+    if min_distance > 0.0:
+        blk_pts = vmap.points[safe_slot]                  # (n, K, 3)
+        occ = jnp.arange(K)[None, :] < blk_cnt[:, None]
+        d2 = jnp.sum((blk_pts - pts[:, None, :]) ** 2, axis=-1)
+        min_d2 = jnp.min(jnp.where(occ, d2, jnp.inf), axis=-1)
+        far_enough = min_d2 > (min_distance * min_distance)
+    else:
+        far_enough = jnp.ones((n,), bool)
     ok_existing = valid & has_slot & far_enough & (blk_cnt < K)
     needs_claim = valid & ~has_slot & (empty_idx < max_probe)
     cand_mask = ok_existing | needs_claim
 
-    # Phase 3 — compact candidates to the budget (stable by index).
-    order = jnp.argsort(~cand_mask, stable=True)
-    sel = order[:b]
-    live = cand_mask[sel]
+    # Phase 3 — compact candidates to the budget (stable by index) with a
+    # cumsum scatter (cheaper than a full-length sort).
+    idx_b = jnp.arange(b, dtype=jnp.int32)
+    if b < n:
+        rank_n = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
+        dst = jnp.where(cand_mask & (rank_n < b), rank_n, b)
+        sel = jnp.full((b,), n - 1, jnp.int32).at[dst].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+        live = jnp.zeros((b,), bool).at[dst].set(
+            True, mode="drop", unique_indices=True)
+    else:
+        sel = jnp.arange(n, dtype=jnp.int32)
+        live = cand_mask
     pts_c = pts[sel]
     coords_c = coords[sel]
     ids_c = point_ids[sel]
-    slot_c = slot[sel]
+    slot_c = jnp.where(live, slot[sel], -1)
     cnt_c = blk_cnt[sel]
-    idx_b = jnp.arange(b, dtype=jnp.int32)
     want_c = voxel_sig(coords_c)
 
-    # Phase 4 — claim rounds for new voxels on the compacted set.  One
-    # leader per distinct voxel (elected by sorting signatures) claims the
-    # first empty slot of its chain via scatter-min arbitration (chain
-    # overlaps between different voxels), writes sig+keys, and the rest
-    # re-probe.  This reproduces what concurrent CAS insertion would do,
-    # deterministically; conflicts decay geometrically per round and
-    # leftover points are dropped for the call (self-healing, see above).
-    for _r in range(3):
+    # Phase 4 — claim rounds for new voxels on the compacted set: each
+    # still-unresolved point targets the first empty slot of its probe
+    # chain; scatter-min arbitration elects one winner per slot (emulating
+    # the CAS that concurrent insertion would perform), the winner writes
+    # sig+keys, everyone else re-probes (same-voxel losers then match the
+    # winner's signature and join its block).  Conflicts decay
+    # geometrically per round; leftovers are dropped for the call
+    # (self-healing, see above).
+    for _r in range(2):
         cand_c, mi_c, ei_c = _probe_chain(sig_col, coords_c, max_probe)
         resolved = _resolve(keys, cand_c, mi_c, ei_c, coords_c, max_probe)
         new_block = (slot_c < 0) & (resolved >= 0)
@@ -218,18 +230,12 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
         cnt_c = jnp.where(new_block, 0, cnt_c)
 
         unresolved = (slot_c < 0) & live & (ei_c < max_probe)
-        sort_key = jnp.where(unresolved, want_c, SIG_EMPTY)
-        so = jnp.argsort(sort_key)
-        ks = sort_key[so]
-        first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-        leader = jnp.zeros((b,), bool).at[so].set(first) & unresolved
-
         tgt = jnp.take_along_axis(
             cand_c, jnp.minimum(ei_c, max_probe - 1)[..., None], -1)[..., 0]
         claim = jnp.full((capacity,), b, jnp.int32)
-        claim = claim.at[jnp.where(leader, tgt, capacity)].min(
+        claim = claim.at[jnp.where(unresolved, tgt, capacity)].min(
             idx_b, mode="drop")
-        winner = leader & (claim[tgt] == idx_b)
+        winner = unresolved & (claim[tgt] == idx_b)
         # dropped rows get distinct out-of-bounds indices so the
         # unique_indices contract holds
         w_idx = jnp.where(winner, tgt, capacity + idx_b)
