@@ -191,8 +191,7 @@ def main():
         img = rng.randint(0, 255, (512, 640, 3)).astype(np.uint8)
 
         rgb, gray = vmod.preprocess(img)
-        ms_pre = timeit(lambda: vmod._pre_jit(jnp.asarray(
-            np.asarray(img, np.float32)[:vmod.rows * 2:2, :vmod.cols * 2:2])))
+        ms_pre = timeit(lambda: vmod.preprocess(img)[1])
         print(f"  vision preprocess      {ms_pre:8.2f} ms")
         pyr = lk.precompute_frame(gray, vmod.lk_params.levels)
         ms_pyr = timeit(lambda: lk.precompute_frame(gray, vmod.lk_params.levels))

@@ -215,21 +215,24 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     want_c = voxel_sig(coords_c)
 
     # Phase 4 — claim rounds for new voxels on the compacted set: each
-    # still-unresolved point targets the first empty slot of its probe
-    # chain; scatter-min arbitration elects one winner per slot (emulating
-    # the CAS that concurrent insertion would perform), the winner writes
-    # sig+keys, everyone else re-probes (same-voxel losers then match the
-    # winner's signature and join its block).  Conflicts decay
-    # geometrically per round; leftovers are dropped for the call
-    # (self-healing, see above).
-    for _r in range(2):
+    # still-pending point targets the first empty slot of its probe chain;
+    # scatter-min arbitration elects one winner per slot (emulating the CAS
+    # that concurrent insertion would perform), the winner writes sig+keys,
+    # everyone else re-probes (same-voxel losers then match the winner's
+    # signature and join its block).  The loop runs until no claim is
+    # pending — every point either lands in a block or provably cannot
+    # (probe chain full), so the outcome is layout-independent, matching
+    # the sequential reference semantics.  On a warm map (no new voxels)
+    # the loop exits without running a single round.
+    def _claim_round(carry):
+        keys, sig_col, slot_c, cnt_c, pending = carry
         cand_c, mi_c, ei_c = _probe_chain(sig_col, coords_c, max_probe)
         resolved = _resolve(keys, cand_c, mi_c, ei_c, coords_c, max_probe)
-        new_block = (slot_c < 0) & (resolved >= 0)
-        slot_c = jnp.where(slot_c < 0, resolved, slot_c)
-        cnt_c = jnp.where(new_block, 0, cnt_c)
+        joined = pending & (resolved >= 0)
+        slot_c = jnp.where(joined, resolved, slot_c)
+        cnt_c = jnp.where(joined, 0, cnt_c)
 
-        unresolved = (slot_c < 0) & live & (ei_c < max_probe)
+        unresolved = pending & ~joined & (ei_c < max_probe)
         tgt = jnp.take_along_axis(
             cand_c, jnp.minimum(ei_c, max_probe - 1)[..., None], -1)[..., 0]
         claim = jnp.full((capacity,), b, jnp.int32)
@@ -244,6 +247,14 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
                                         unique_indices=True)
         slot_c = jnp.where(winner, tgt, slot_c)
         cnt_c = jnp.where(winner, 0, cnt_c)
+        # keep only losers whose chain still has room: at least one winner
+        # is elected per contended slot each round, so this terminates
+        pending = unresolved & ~winner
+        return keys, sig_col, slot_c, cnt_c, pending
+
+    keys, sig_col, slot_c, cnt_c, _ = jax.lax.while_loop(
+        lambda c: jnp.any(c[4]), _claim_round,
+        (keys, sig_col, slot_c, cnt_c, live & (slot_c < 0)))
 
     ok_c = live & (slot_c >= 0)
     safe_c = jnp.where(ok_c, slot_c, 0)

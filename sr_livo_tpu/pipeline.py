@@ -123,6 +123,16 @@ class LivoPipeline:
         self.state = out.state
         self.voxel_map = out.voxel_map
 
+        if self.cfg.debug_output:
+            # per-frame de-skewed world-frame cloud dump
+            # (lioOptimization.cpp:1091-1099)
+            from sr_livo_tpu.runtime.pcd import save_xyz_points
+            d = os.path.join(self.cfg.output_path, "cloud_frame")
+            os.makedirs(d, exist_ok=True)
+            save_xyz_points(np.asarray(out.frame_pts_world),
+                            np.asarray(out.frame_valid),
+                            os.path.join(d, f"{self.index_frame:06d}.pcd"))
+
         if (self.cfg.enable_map_eviction
                 and self.index_frame % self.cfg.eviction_every_n_frames == 0):
             from sr_livo_tpu.ops.voxel_map import remove_far_voxels

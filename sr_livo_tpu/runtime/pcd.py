@@ -11,6 +11,30 @@ from __future__ import annotations
 import numpy as np
 
 
+def save_xyz_points(points: np.ndarray, valid: np.ndarray, path: str) -> int:
+    """Plain-xyz binary PCD of one frame's (de-skewed, world-frame) points —
+    the debug_output dump of lioOptimization::process
+    (/root/reference/src/lioOptimization.cpp:1091-1099)."""
+    pts = np.asarray(points, np.float32)[np.asarray(valid, bool)]
+    n = pts.shape[0]
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        "FIELDS x y z\n"
+        "SIZE 4 4 4\n"
+        "TYPE F F F\n"
+        "COUNT 1 1 1\n"
+        f"WIDTH {n}\n"
+        "HEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\n"
+        "DATA binary\n")
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(pts.tobytes())
+    return n
+
+
 def save_color_points(color_map, path: str, minimum_views: int = 3) -> int:
     """Write rgb_map.pcd; returns the number of points written."""
     reg_valid = np.asarray(color_map.reg_valid)

@@ -106,3 +106,24 @@ def test_outputs_written(tmp_path, sim):
     assert np.all(np.isfinite(p))
     nrm = np.linalg.norm(q, axis=-1)
     assert np.allclose(nrm, 1.0, atol=1e-5)
+
+
+def test_debug_output_frame_dumps(tmp_path):
+    """debug_output writes one de-skewed world-frame PCD per processed
+    frame (lioOptimization.cpp:1091-1099)."""
+    cfg = _small_cfg()
+    cfg.debug_output = True
+    cfg.output_path = str(tmp_path)
+    short = synthetic.simulate(duration=4.5, n_azimuth=80, n_rings=10, seed=5)
+    pipe = LivoPipeline(cfg)
+    run_streams(pipe, short)
+    d = tmp_path / "cloud_frame"
+    dumps = sorted(d.glob("*.pcd"))
+    assert len(dumps) == len(pipe.records) > 0
+    # round-trip one dump
+    raw = dumps[-1].read_bytes()
+    hdr_end = raw.index(b"DATA binary\n") + len(b"DATA binary\n")
+    n = int([ln for ln in raw[:hdr_end].decode().splitlines()
+             if ln.startswith("POINTS")][0].split()[1])
+    pts = np.frombuffer(raw[hdr_end:], np.float32).reshape(n, 3)
+    assert n > 0 and np.all(np.isfinite(pts))
