@@ -125,16 +125,20 @@ def predict(state: EskfState, noise: jnp.ndarray, dt, acc_1, gyr_1) -> EskfState
                           acc_0=acc_1, gyr_0=gyr_1)
 
 
-def predict_sweep(state: EskfState, noise: jnp.ndarray,
-                  t_rel: jnp.ndarray, dts: jnp.ndarray, accs: jnp.ndarray,
-                  gyrs: jnp.ndarray, valid: jnp.ndarray
-                  ) -> Tuple[EskfState, ImuStates]:
+def predict_sweep_sequential(state: EskfState, noise: jnp.ndarray,
+                             t_rel: jnp.ndarray, dts: jnp.ndarray,
+                             accs: jnp.ndarray, gyrs: jnp.ndarray,
+                             valid: jnp.ndarray
+                             ) -> Tuple[EskfState, ImuStates]:
     """Propagate through a padded per-sweep IMU batch via `lax.scan`.
 
     Mirrors run()'s per-sweep IMU loop (lioOptimization.cpp:1489-1569): each
     valid sample advances the filter; the recorded `ImuStates` trajectory
     feeds motion undistortion.  Invalid (padding) samples are passed through
     unchanged and their recorded slot repeats the previous state.
+
+    Reference implementation for `predict_sweep` (the log-depth parallel
+    formulation used on TPU); kept for cross-checking.
     """
     def step(s: EskfState, x):
         dt, acc, gyr, ok = x
@@ -154,6 +158,130 @@ def predict_sweep(state: EskfState, noise: jnp.ndarray,
         step, state, (dts, accs, gyrs, valid))
     imu_states = ImuStates(t=t_rel, un_acc=un_accs, un_gyr=un_gyrs,
                            p=ps, q=qs, v=vs, valid=valid)
+    return final, imu_states
+
+
+def predict_sweep(state: EskfState, noise: jnp.ndarray,
+                  t_rel: jnp.ndarray, dts: jnp.ndarray, accs: jnp.ndarray,
+                  gyrs: jnp.ndarray, valid: jnp.ndarray
+                  ) -> Tuple[EskfState, ImuStates]:
+    """Log-depth parallel formulation of `predict_sweep_sequential`.
+
+    The reference propagates sample-by-sample (lioOptimization.cpp:1489-1569)
+    — an inherently serial chain that maps terribly onto wide SIMD hardware.
+    The same midpoint integration decomposes exactly into parallel primitives:
+
+      * orientation: the per-step increments dq_k = exp(un_gyr_k dt_k) depend
+        only on the (constant-per-sweep) gyro bias, so the orientation chain
+        is an `associative_scan` of quaternion products;
+      * velocity/position: with all rotations known, dv_k and v_{k-1} dt_k
+        are element-wise terms closed by two cumulative sums;
+      * covariance: P_{k+1} = F_k P_k F_k^T + Q_k composes associatively as
+        (F2,Q2)∘(F1,Q1) = (F2 F1, F2 Q1 F2^T + Q2); only the sweep-end
+        covariance is needed, so a log2(S) tree reduction of batched 17x17
+        matmuls replaces S serial matrix products.
+
+    Padding samples are handled by forcing dt=0 (identity mean step) and
+    (F,Q)=(I,0).  Results match the sequential scan to f32 round-off.
+    """
+    dtype = state.p.dtype
+    S = dts.shape[0]
+    dt = jnp.where(valid, dts, 0.0).astype(dtype)
+
+    # Midpoint IMU samples: prev sample chain (acc_0/gyr_0 seeds slot 0).
+    acc_prev = jnp.concatenate([state.acc_0[None], accs[:-1]], axis=0)
+    gyr_prev = jnp.concatenate([state.gyr_0[None], gyrs[:-1]], axis=0)
+    un_gyr = 0.5 * (gyr_prev + gyrs) - state.bg            # (S, 3)
+    un_acc_body = 0.5 * (acc_prev + accs) - state.ba       # (S, 3)
+
+    # Orientation prefix products.
+    dq = lie.exp_so3_quat(un_gyr * dt[:, None])            # identity when dt=0
+    q_prefix = jax.lax.associative_scan(lie.quat_mul, dq)  # (S, 4)
+    q_post = lie.quat_normalize(
+        lie.quat_mul(jnp.broadcast_to(state.q, (S, 4)), q_prefix))
+    q_pre = jnp.concatenate([state.q[None], q_post[:-1]], axis=0)
+    r_pre = lie.quat_to_rot(q_pre)                         # (S, 3, 3)
+
+    # Velocity / position cumulative sums (v_new uses r_before; p_new uses
+    # the pre-step velocity — exactly the sequential update order).
+    un_acc_world = jnp.einsum("sij,sj->si", r_pre, un_acc_body)
+    dv = (un_acc_world - state.g[None, :]) * dt[:, None]
+    v_post = state.v[None, :] + jnp.cumsum(dv, axis=0)
+    v_pre = jnp.concatenate([state.v[None], v_post[:-1]], axis=0)
+    p_post = state.p[None, :] + jnp.cumsum(v_pre * dt[:, None], axis=0)
+
+    # Covariance: batched F_k / Q_k then a tree reduction.
+    gyr_x = lie.skew(un_gyr)
+    acc_x = lie.skew(un_acc_body)
+    b_x = lie.s2_bx(state.g)
+    g_x = lie.skew(state.g)
+    g_norm_sq = jnp.maximum(jnp.sum(state.g * state.g), 1e-12)
+    eye3 = jnp.eye(3, dtype=dtype)
+    eyeS = jnp.broadcast_to(eye3, (S, 3, 3))
+
+    f = jnp.zeros((S, 17, 17), dtype)
+    f = f.at[:, 0:3, 0:3].set(eyeS)
+    f = f.at[:, 0:3, 6:9].set(eyeS * dt[:, None, None])
+    f = f.at[:, 3:6, 3:6].set(eyeS - gyr_x * dt[:, None, None])
+    f = f.at[:, 3:6, 12:15].set(-eyeS * dt[:, None, None])
+    f = f.at[:, 6:9, 3:6].set(-jnp.einsum("sij,sjk->sik", r_pre, acc_x)
+                              * dt[:, None, None])
+    f = f.at[:, 6:9, 6:9].set(eyeS)
+    f = f.at[:, 6:9, 9:12].set(-r_pre * dt[:, None, None])
+    f = f.at[:, 6:9, 15:17].set(
+        jnp.broadcast_to((g_x @ b_x)[None], (S, 3, 2)) * dt[:, None, None])
+    f = f.at[:, 9:12, 9:12].set(eyeS)
+    f = f.at[:, 12:15, 12:15].set(eyeS)
+    s2_blk = -(b_x.T @ g_x @ g_x @ b_x) / g_norm_sq
+    f = f.at[:, 15:17, 15:17].set(jnp.broadcast_to(s2_blk[None], (S, 2, 2)))
+    # Padding samples: F = I (dt=0 already zeroes the off-diagonal dt terms,
+    # but the S2 block is dt-free — force the whole row to identity).
+    f = jnp.where(valid[:, None, None], f,
+                  jnp.broadcast_to(jnp.eye(17, dtype=dtype), (S, 17, 17)))
+
+    fw = jnp.zeros((S, 17, 12), dtype)
+    fw = fw.at[:, 6:9, 0:3].set(-r_pre * dt[:, None, None])
+    fw = fw.at[:, 3:6, 3:6].set(-eyeS * dt[:, None, None])
+    fw = fw.at[:, 9:12, 6:9].set(-eyeS * dt[:, None, None])
+    fw = fw.at[:, 12:15, 9:12].set(-eyeS * dt[:, None, None])
+    q_noise = jnp.einsum("sij,j,skj->sik", fw, noise.astype(dtype), fw)
+    q_noise = jnp.where(valid[:, None, None], q_noise, 0.0)
+
+    # Tree reduction of (F, Q) composition (S must be a power of two for the
+    # halving loop; pad with identity otherwise).
+    if S & (S - 1):
+        pad = 1 << (S - 1).bit_length()
+        f = jnp.concatenate(
+            [f, jnp.broadcast_to(jnp.eye(17, dtype=dtype),
+                                 (pad - S, 17, 17))], axis=0)
+        q_noise = jnp.concatenate(
+            [q_noise, jnp.zeros((pad - S, 17, 17), dtype)], axis=0)
+    while f.shape[0] > 1:
+        f1, f2 = f[0::2], f[1::2]
+        q1, q2 = q_noise[0::2], q_noise[1::2]
+        f = jnp.einsum("sij,sjk->sik", f2, f1)
+        q_noise = jnp.einsum("sij,sjk,slk->sil", f2, q1, f2) + q2
+    f_tot, q_tot = f[0], q_noise[0]
+    cov_new = f_tot @ state.cov @ f_tot.T + q_tot
+
+    # Final nominal state + last-sample bookkeeping (suffix padding: the
+    # last valid sample's raw IMU values become acc_0/gyr_0).
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    any_valid = n_valid > 0
+    idx_last = jnp.maximum(n_valid - 1, 0)
+    final = state._replace(
+        p=jnp.where(any_valid, p_post[idx_last], state.p),
+        q=jnp.where(any_valid, q_post[idx_last], state.q),
+        v=jnp.where(any_valid, v_post[idx_last], state.v),
+        cov=jnp.where(any_valid, cov_new, state.cov),
+        acc_0=jnp.where(any_valid, accs[idx_last], state.acc_0),
+        gyr_0=jnp.where(any_valid, gyrs[idx_last], state.gyr_0))
+
+    # Recorded trajectory: padding slots repeat the last valid state (the
+    # dt=0 identity step does this for p/q/v automatically).
+    un_acc_rec = jnp.einsum("sij,sj->si", r_pre, un_acc_body)
+    imu_states = ImuStates(t=t_rel, un_acc=un_acc_rec, un_gyr=un_gyr,
+                           p=p_post, q=q_post, v=v_post, valid=valid)
     return final, imu_states
 
 

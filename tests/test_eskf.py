@@ -151,6 +151,43 @@ def _extract_fx_column(state, noise, dt, acc1, gyr1):
     return f_x
 
 
+def test_predict_sweep_parallel_matches_scan():
+    """The log-depth parallel propagation must reproduce the lax.scan
+    formulation (moving state + covariance + recorded valid trajectory)."""
+    state = eskf.init_state()
+    state = state._replace(
+        q=jnp.asarray(lie.quat_normalize(jnp.asarray([0.9, 0.1, -0.2, 0.3],
+                                                     jnp.float32))),
+        v=jnp.asarray([0.4, -0.2, 0.1], jnp.float32),
+        ba=jnp.asarray([0.01, -0.02, 0.005], jnp.float32),
+        bg=jnp.asarray([0.002, 0.001, -0.004], jnp.float32),
+        acc_0=jnp.asarray([0.1, 0.2, 9.7], jnp.float32),
+        gyr_0=jnp.asarray([0.05, -0.02, 0.01], jnp.float32))
+    noise = _make_noise()
+    for S, n_valid in ((64, 64), (64, 41), (48, 48), (7, 5)):
+        dts = np.full(S, 0.005, np.float32)
+        accs = (np.array([0, 0, 9.81]) + RNG.randn(S, 3) * 0.5).astype(np.float32)
+        gyrs = (RNG.randn(S, 3) * 0.3).astype(np.float32)
+        valid = np.arange(S) < n_valid
+        t_rel = np.cumsum(dts).astype(np.float32)
+        args = (state, noise, jnp.asarray(t_rel), jnp.asarray(dts),
+                jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(valid))
+        f_par, tr_par = eskf.predict_sweep(*args)
+        f_seq, tr_seq = eskf.predict_sweep_sequential(*args)
+        assert np.allclose(f_par.p, f_seq.p, atol=1e-5)
+        assert np.allclose(f_par.q, f_seq.q, atol=1e-6)
+        assert np.allclose(f_par.v, f_seq.v, atol=1e-5)
+        assert np.allclose(f_par.cov, f_seq.cov, atol=1e-5)
+        assert np.allclose(f_par.acc_0, f_seq.acc_0)
+        assert np.allclose(f_par.gyr_0, f_seq.gyr_0)
+        v = valid
+        assert np.allclose(tr_par.p[v], tr_seq.p[v], atol=1e-5)
+        assert np.allclose(tr_par.q[v], tr_seq.q[v], atol=1e-6)
+        assert np.allclose(tr_par.v[v], tr_seq.v[v], atol=1e-5)
+        assert np.allclose(tr_par.un_acc[v], tr_seq.un_acc[v], atol=1e-5)
+        assert np.allclose(tr_par.un_gyr[v], tr_seq.un_gyr[v], atol=1e-6)
+
+
 def test_predict_sweep_scan_matches_sequential():
     state = eskf.init_state()
     noise = _make_noise()
