@@ -61,7 +61,7 @@ def main():
     _, t_wc, q_cw, t_cw = cam_mod.world_camera_pose(vmod.camera, q_wi, t_wi)
     ot = jax.device_put(np.float32(0.1))
     V = cfg.shapes.max_render_voxels
-    K = cmap.vox.points.shape[1]
+    K = cmap.vox.block_capacity
     registry = cmap.pos.shape[0]
 
     # full render
@@ -77,7 +77,7 @@ def main():
         recent = cmap.vox_last_visit == ot
         _, slot_idx = jax.lax.top_k(recent.astype(jnp.float32), V)
         slot_ok = recent[slot_idx]
-        ids = cmap.vox.point_ids[slot_idx]
+        ids = vm.gather_blocks(cmap.vox.point_ids, slot_idx, K)
         cnt = jnp.where(slot_ok, cmap.vox.counts[slot_idx], 0)
         return ids, cnt
     print(f"  topk+ids+cnt          {timeit(lambda: s1(cmap, ot)):8.2f} ms")
@@ -136,8 +136,13 @@ def main():
         min_distance=cfg.map_options.min_distance_points,
         max_probe=cfg.shapes.map_max_probe,
         budget=cfg.shapes.max_insert_points))
-    print(f"color_insert full       "
-          f"{timeit(lambda: ci(cmap, sub, subv, ot)):8.2f} ms")
+    _cs = [jax.tree_util.tree_map(jnp.copy, cmap)]
+
+    def run_ci():
+        m, _ = ci(_cs[0], sub, subv, ot)
+        _cs[0] = m
+        return m.count
+    print(f"color_insert full       {timeit(run_ci):8.2f} ms")
 
 
 if __name__ == "__main__":

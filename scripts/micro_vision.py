@@ -85,13 +85,15 @@ def main():
     nv = jax.device_put(np.int32(100))
 
     def run_vision():
-        return _vision_step(
+        cam, cmap_, trk, a, b = _vision_step(
             vmod.camera, vmod.color_map, vmod.tracks, pyr, pyr, rgb,
             q_wi, t_wi, dt, ot, nv, k1, k2,
             lk_params=vmod.lk_params, cols=vmod.cols, rows=vmod.rows,
             track_grid=vmod.track_grid,
             max_render_voxels=cfg.shapes.max_render_voxels,
             estimate_intrinsic=True, estimate_extrinsic=True)
+        vmod.color_map, vmod.tracks = cmap_, trk
+        return a
     print(f"_vision_step (device)   {timeit(run_vision):8.2f} ms")
 
     # color insert with device-resident points
@@ -99,13 +101,18 @@ def main():
     subv = jnp.ones(8192, bool)
     otime = jax.device_put(np.float32(0.3))
 
+    import copy as _copy
+    _cs = [jax.tree_util.tree_map(jnp.copy, vmod.color_map)]
+
     def run_ins():
-        return cm.color_insert(
-            vmod.color_map, sub, subv, otime,
+        m, _ = cm.color_insert(
+            _cs[0], sub, subv, otime,
             voxel_size=cfg.map_options.size_voxel_map,
             min_distance=cfg.map_options.min_distance_points,
             max_probe=cfg.shapes.map_max_probe,
             budget=cfg.shapes.max_insert_points)
+        _cs[0] = m
+        return m.count
     print(f"color_insert (device)   {timeit(run_ins):8.2f} ms")
 
     # LK tracker alone

@@ -174,8 +174,8 @@ class ShapeOptions:
     color_capacity: int = 1 << 19
     color_voxel_points: int = 20
     color_registry: int = 1 << 20       # global rgb point registry bound
-    max_render_points: int = 1 << 15    # points rendered per image
     max_render_voxels: int = 2048       # recent voxels rendered per image
+    max_render_points: int = 8192       # visible points colored per image
     # Vision
     lk_pyramid_levels: int = 4
     lk_window: int = 21
@@ -198,6 +198,15 @@ class LivoConfig:
     laser_point_cov: float = 0.001      # lioOptimization.cpp:364
     # None = auto (Pallas kernels on TPU, pure-jnp path on CPU)
     use_pallas: Optional[bool] = None
+    # Associate keypoints to map planes ONCE per IEKF update (at the
+    # predicted pose) instead of re-searching every iteration like the
+    # reference (buildPlaneResiduals inside the i=-1..N loop,
+    # optimize.cpp:133-160).  Between iterations the pose moves by
+    # millimetres — far less than a map voxel — so the neighbor sets and
+    # fitted plane normals are unchanged and only the pose-dependent
+    # point-to-plane distances/Jacobians need recomputing.  False restores
+    # exact reference semantics.
+    cache_association: bool = True
     # Far-voxel eviction (removePointsFarFromLocation is disabled in the
     # reference main loop, lioOptimization.cpp:1032 — off by default here too)
     enable_map_eviction: bool = False

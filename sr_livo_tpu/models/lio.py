@@ -94,30 +94,20 @@ def build_residuals(
             power_planarity=power_planarity, max_dist=max_dist_to_plane,
             min_neighbors=min_number_neighbors)
 
-    # Residual cap in keypoint order (optimize.cpp:107).
-    if max_num_residuals > 0:
-        prefix = jnp.cumsum(good.astype(jnp.int32))
-        good = good & (prefix <= max_num_residuals)
-        keep = good[:, None]
-        h_x = jnp.where(keep, h_x, 0.0)
-        h = jnp.where(good, h, 0.0)
-    return ResidualBatch(h_x=h_x, h=h, valid=good,
-                         num=jnp.sum(good).astype(jnp.int32))
+    return _cap_residuals(h_x, h, good, max_num_residuals)
 
 
-def _plane_rows_jnp(neighbors, n_found, world, location, r_world,
-                    last_trans, keypts_valid, *, lam_w, lam_nb,
-                    power_planarity, max_dist, min_neighbors):
-    """Pure-jnp residual rows (reference implementation; the Pallas kernel
-    in ops.pallas.plane_fit mirrors this math)."""
+def _plane_rows_from_assoc(normal0, a2d, closest, n_found, world, location,
+                           r_world, last_trans, keypts_valid, *, lam_w,
+                           lam_nb, power_planarity, max_dist, min_neighbors):
+    """Pose-dependent tail of buildPlaneResiduals given a fixed association
+    (plane normal + planarity + closest neighbor per keypoint)."""
     enough = n_found >= min_neighbors
-    normal, a2d, _ = nb_ops.neighborhood_distribution(neighbors, n_found)
     # Orient normal toward the previous sensor position (optimize.cpp:49-51).
-    flip = jnp.sum(normal * (last_trans[None, :] - world), axis=-1) < 0
-    normal = jnp.where(flip[:, None], -normal, normal)
+    flip = jnp.sum(normal0 * (last_trans[None, :] - world), axis=-1) < 0
+    normal = jnp.where(flip[:, None], -normal0, normal0)
 
     planarity_w = a2d ** power_planarity
-    closest = neighbors[:, 0, :]
     closest_dist = jnp.linalg.norm(closest - world, axis=-1)
     weight = (lam_w * planarity_w
               + lam_nb * jnp.exp(-closest_dist / (max_dist * min_neighbors)))
@@ -132,6 +122,30 @@ def _plane_rows_jnp(neighbors, n_found, world, location, r_world,
     h_x = jnp.concatenate([normal * w[:, None], j_rot * w[:, None]], axis=-1)
     h = jnp.where(good, distance * weight, 0.0)
     return h_x, h, good
+
+
+def _plane_rows_jnp(neighbors, n_found, world, location, r_world,
+                    last_trans, keypts_valid, *, lam_w, lam_nb,
+                    power_planarity, max_dist, min_neighbors):
+    """Pure-jnp residual rows (reference implementation; the Pallas kernel
+    in ops.pallas.plane_fit mirrors this math)."""
+    normal, a2d, _ = nb_ops.neighborhood_distribution(neighbors, n_found)
+    return _plane_rows_from_assoc(
+        normal, a2d, neighbors[:, 0, :], n_found, world, location, r_world,
+        last_trans, keypts_valid, lam_w=lam_w, lam_nb=lam_nb,
+        power_planarity=power_planarity, max_dist=max_dist,
+        min_neighbors=min_neighbors)
+
+
+def _cap_residuals(h_x, h, good, max_num_residuals):
+    """Residual cap in keypoint order (optimize.cpp:107)."""
+    if max_num_residuals > 0:
+        prefix = jnp.cumsum(good.astype(jnp.int32))
+        good = good & (prefix <= max_num_residuals)
+        h_x = jnp.where(good[:, None], h_x, 0.0)
+        h = jnp.where(good, h, 0.0)
+    return ResidualBatch(h_x=h_x, h=h, valid=good,
+                         num=jnp.sum(good).astype(jnp.int32))
 
 
 def _reset_jacobian(d_so3: jnp.ndarray, so3_dg: jnp.ndarray,
@@ -175,7 +189,8 @@ def _error_vs_prediction(state: EskfState, pred: EskfState):
                      "max_num_residuals", "max_probe", "max_iters",
                      "threshold_translation_norm",
                      "threshold_orientation_norm", "laser_point_cov",
-                     "check_convergence", "use_pallas"))
+                     "check_convergence", "use_pallas",
+                     "cache_association"))
 def iekf_update(
     state: EskfState,
     voxel_map: vm.VoxelMap,
@@ -201,6 +216,7 @@ def iekf_update(
     laser_point_cov: float,
     check_convergence: bool = True,
     use_pallas: bool = False,
+    cache_association: bool = False,
 ) -> Tuple[EskfState, IekfSummary]:
     """Iterated EKF measurement update (updateIEKF, optimize.cpp:133-314).
 
@@ -209,25 +225,61 @@ def iekf_update(
     iteration, with early exit on |dt| / |dtheta| convergence.  The final
     covariance update folds the gain and reset Jacobians as
       P+ = J (P - K_x P[0:6,:]) J^T.
+
+    With `cache_association=True` the kNN search and plane PCA run ONCE at
+    the predicted pose; iterations recompute only the pose-dependent
+    distances/Jacobians (see LivoConfig.cache_association).
     """
     pred = state  # sweep-start prediction (p_predict etc., optimize.cpp:138)
 
-    def residuals(s: EskfState) -> ResidualBatch:
-        return build_residuals(
-            voxel_map, keypts_raw, keypts_valid, s.q, s.p, last_trans,
-            r_il, t_il,
-            size_voxel_map=size_voxel_map,
-            nb_voxels_visited=nb_voxels_visited,
-            max_number_neighbors=max_number_neighbors,
-            min_number_neighbors=min_number_neighbors,
-            threshold_voxel_capacity=threshold_voxel_capacity,
-            power_planarity=power_planarity,
-            max_dist_to_plane=max_dist_to_plane,
-            weight_alpha=weight_alpha,
-            weight_neighborhood=weight_neighborhood,
-            max_num_residuals=max_num_residuals,
-            max_probe=max_probe,
-            use_pallas=use_pallas)
+    lam_sum = abs(weight_alpha) + abs(weight_neighborhood)
+    lam_w = abs(weight_alpha) / lam_sum
+    lam_nb = abs(weight_neighborhood) / lam_sum
+
+    if cache_association:
+        location = keypts_raw @ r_il.T + t_il               # IMU frame
+        world0 = lie.quat_rotate(
+            jnp.broadcast_to(state.q, (location.shape[0], 4)),
+            location) + state.p
+        neighbors, nb_ok, _ = vm.knn(
+            voxel_map, world0, voxel_size=size_voxel_map,
+            max_neighbors=max_number_neighbors, max_probe=max_probe,
+            nb_voxels=nb_voxels_visited,
+            threshold_capacity=threshold_voxel_capacity)
+        n_found = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
+        normal0, a2d, _ = nb_ops.neighborhood_distribution(
+            neighbors, n_found)
+        closest = neighbors[:, 0, :]
+
+        def residuals(s: EskfState) -> ResidualBatch:
+            world = lie.quat_rotate(
+                jnp.broadcast_to(s.q, (location.shape[0], 4)),
+                location) + s.p
+            h_x, h, good = _plane_rows_from_assoc(
+                normal0, a2d, closest, n_found, world, location,
+                lie.quat_to_rot(s.q), last_trans, keypts_valid,
+                lam_w=lam_w, lam_nb=lam_nb,
+                power_planarity=power_planarity,
+                max_dist=max_dist_to_plane,
+                min_neighbors=min_number_neighbors)
+            return _cap_residuals(h_x, h, good, max_num_residuals)
+    else:
+        def residuals(s: EskfState) -> ResidualBatch:
+            return build_residuals(
+                voxel_map, keypts_raw, keypts_valid, s.q, s.p, last_trans,
+                r_il, t_il,
+                size_voxel_map=size_voxel_map,
+                nb_voxels_visited=nb_voxels_visited,
+                max_number_neighbors=max_number_neighbors,
+                min_number_neighbors=min_number_neighbors,
+                threshold_voxel_capacity=threshold_voxel_capacity,
+                power_planarity=power_planarity,
+                max_dist_to_plane=max_dist_to_plane,
+                weight_alpha=weight_alpha,
+                weight_neighborhood=weight_neighborhood,
+                max_num_residuals=max_num_residuals,
+                max_probe=max_probe,
+                use_pallas=use_pallas)
 
     def body(carry):
         s, it, _conv, _ok, _nres, cov_final = carry

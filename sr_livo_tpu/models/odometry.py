@@ -134,7 +134,8 @@ def _sweep_core(state: EskfState,
         threshold_translation_norm=icp.threshold_translation_norm,
         threshold_orientation_norm=icp.threshold_orientation_norm,
         laser_point_cov=cfg.laser_point_cov,
-        use_pallas=_resolve_use_pallas(cfg))
+        use_pallas=_resolve_use_pallas(cfg),
+        cache_association=cfg.cache_association)
 
     state_new = jax.tree_util.tree_map(
         lambda a, b: jnp.where(sweep.do_optimize, a, b), state_upd, state_pred)

@@ -101,18 +101,13 @@ class VisionModule:
             # probe gathers (the dominant insert cost on TPU) vs masking
             pts_world = pts_world[::step]
             valid = valid[::step]
-        before = self.color_map.vox_last_visit
-        self.color_map = cm.color_insert(
+        # number_of_new_visited_voxel: voxels whose visit time became current
+        self.color_map, self.n_new_visited = cm.color_insert(
             self.color_map, pts_world, valid, obs_time,
             voxel_size=self.cfg.map_options.size_voxel_map,
             min_distance=self.cfg.map_options.min_distance_points,
             max_probe=self.cfg.shapes.map_max_probe,
             budget=self.cfg.shapes.max_insert_points)
-        # number_of_new_visited_voxel: voxels whose visit time became current
-        now = jnp.asarray(obs_time, before.dtype)
-        self.n_new_visited = jnp.sum(
-            (self.color_map.vox_last_visit == now) & (before != now)
-        ).astype(jnp.int32)
 
     # -- preprocessing --------------------------------------------------
     def _preprocess_core(self, img: jnp.ndarray):
@@ -197,6 +192,7 @@ class VisionModule:
                 cols=self.cols, rows=self.rows,
                 track_grid=self.track_grid,
                 max_render_voxels=self.cfg.shapes.max_render_voxels,
+                max_render_points=self.cfg.shapes.max_render_points,
                 estimate_intrinsic=True, estimate_extrinsic=True)
         self.stats.append((float(obs_time), int(n_tracked), int(n_inlier)))
         self.prev_pyr = cur_pyr
@@ -218,13 +214,13 @@ class VisionModule:
             active=ok)
 
 
-@functools.partial(jax.jit, static_argnames=(
+@functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=(
     "lk_params", "cols", "rows", "track_grid", "max_render_voxels",
-    "estimate_intrinsic", "estimate_extrinsic"))
+    "max_render_points", "estimate_intrinsic", "estimate_extrinsic"))
 def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
                  q_wi, t_wi, dt, obs_time, n_new_visited, key_f, key_pnp, *,
                  lk_params, cols, rows, track_grid, max_render_voxels,
-                 estimate_intrinsic, estimate_extrinsic):
+                 max_render_points, estimate_intrinsic, estimate_extrinsic):
     """One fused device program for the whole vision frame."""
     m = tracks.reg_id.shape[0]
     registry = color_map.reg.shape[0]
@@ -285,7 +281,8 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     _, t_wc, q_cw, t_cw = cam_mod.world_camera_pose(camera, q_wi, t_wi)
     color_map = cm.render_recent(
         color_map, rgb_img, q_cw, t_cw, t_wc, camera.intr, obs_time,
-        max_render_voxels=max_render_voxels, cols=cols, rows=rows)
+        max_render_voxels=max_render_voxels, cols=cols, rows=rows,
+        max_render_points=max_render_points)
 
     # ---- 8. track maintenance (updateAndAppendTrackPoints, :13-102) ----
     proj_uv, z_ok, _pc = cm.project_points(pts_world, q_cw, t_cw, camera.intr)

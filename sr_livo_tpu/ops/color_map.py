@@ -148,48 +148,72 @@ def _claim_dedup(dedup_sig: jnp.ndarray, coords: jnp.ndarray,
     return sig, is_new
 
 
-@functools.partial(jax.jit, static_argnames=(
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=(
     "voxel_size", "min_distance", "max_probe", "budget"))
 def color_insert(cmap: ColorMap, pts: jnp.ndarray, valid: jnp.ndarray,
                  obs_time, *, voxel_size: float, min_distance: float,
-                 max_probe: int, budget=None) -> ColorMap:
+                 max_probe: int, budget=None
+                 ) -> Tuple[ColorMap, jnp.ndarray]:
     """Insert sweep points into the colored map (addPointToColorMap
     semantics, lioOptimization.cpp:448-518) and update the recent-visited
-    voxel timestamps."""
+    voxel timestamps.
+
+    Returns (new_map, n_new_visited) where n_new_visited counts voxels whose
+    visit stamp first became `obs_time` in this call
+    (number_of_new_visited_voxel, lioOptimization.cpp:509-516).
+
+    The map argument is DONATED: callers must rebind (`cmap, n = color_insert
+    (cmap, ...)`) and must not reuse the old arrays.  Dedup winners are
+    compacted to `budget` before the voxel insert, so the expensive
+    probe/claim/scatter phases run on `budget`-sized arrays; over-budget
+    winners are dropped for this call (their dedup cells stay claimed —
+    a bounded, self-limiting leak on pathological single-sweep bursts).
+    """
     registry = cmap.pos.shape[0]
     n = pts.shape[0]
+    b = n if budget is None else min(budget, n)
 
     dd_coords = vm.voxel_coords(pts, min_distance)
     dedup_sig, is_new = _claim_dedup(cmap.dedup_sig, dd_coords, valid,
                                      max_probe)
 
-    # provisional registry ids for dedup winners
+    # Compact dedup winners to the budget (stable by index): registry ids
+    # are consecutive in compacted order.
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    ids = cmap.count + rank
-    overflow = ids >= registry
-    cand = is_new & ~overflow
+    dst = jnp.where(is_new & (rank < b), rank, b)
+    sel = jnp.full((b,), 0, jnp.int32).at[dst].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+    live = jnp.zeros((b,), bool).at[dst].set(
+        True, mode="drop", unique_indices=True)
+    pts_c = pts[sel]
+    ids_c = cmap.count + jnp.arange(b, dtype=jnp.int32)
+    cand_c = live & (ids_c < registry)
 
-    vox_new, accepted = vm.insert(
-        cmap.vox, pts, cand, voxel_size, 0.0, max_probe, point_ids=ids,
-        budget=budget)
+    vox_new, accepted_c = vm.insert(
+        cmap.vox, pts_c, cand_c, voxel_size, 0.0, max_probe,
+        point_ids=ids_c)
 
-    safe_ids = jnp.where(accepted, ids, registry)
-    rows = jnp.zeros((pts.shape[0], REG_WIDTH), cmap.reg.dtype)
-    rows = rows.at[:, C_POS].set(pts)
+    safe_ids = jnp.where(accepted_c, ids_c, registry)
+    rows = jnp.zeros((b, REG_WIDTH), cmap.reg.dtype)
+    rows = rows.at[:, C_POS].set(pts_c)
     rows = rows.at[:, C_VALID].set(1.0)
     reg = cmap.reg.at[safe_ids].set(rows, mode="drop")
-    count = cmap.count + jnp.sum(cand.astype(jnp.int32))
+    count = cmap.count + jnp.sum(cand_c.astype(jnp.int32))
 
-    # recent-visited tracking: every candidate point's voxel slot
+    # recent-visited tracking: every valid point's voxel slot
     coords = vm.voxel_coords(pts, voxel_size)
     slots = vm.lookup(vox_new, coords, max_probe)
     ok = valid & (slots >= 0)
+    now = jnp.asarray(obs_time, cmap.vox_last_visit.dtype)
     visit = cmap.vox_last_visit.at[
         jnp.where(ok, slots, cmap.vox_last_visit.shape[0])].set(
-            jnp.asarray(obs_time, cmap.vox_last_visit.dtype), mode="drop")
+            now, mode="drop")
+    n_new_visited = jnp.sum(
+        (visit == now) & (cmap.vox_last_visit != now)).astype(jnp.int32)
 
-    return cmap._replace(reg=reg, count=count, vox=vox_new,
-                         vox_last_visit=visit, dedup_sig=dedup_sig)
+    new_map = cmap._replace(reg=reg, count=count, vox=vox_new,
+                            vox_last_visit=visit, dedup_sig=dedup_sig)
+    return new_map, n_new_visited
 
 
 def project_points(pts: jnp.ndarray, q_cw: jnp.ndarray, t_cw: jnp.ndarray,
@@ -271,37 +295,61 @@ def update_rgb(cmap: ColorMap, ids: jnp.ndarray, obs_rgb: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_render_voxels", "cols", "rows"))
+    "max_render_voxels", "max_render_points", "cols", "rows"))
 def render_recent(cmap: ColorMap, image: jnp.ndarray, q_cw: jnp.ndarray,
                   t_cw: jnp.ndarray, t_wc_world: jnp.ndarray,
                   intr: jnp.ndarray, obs_time, *,
                   max_render_voxels: int, cols: int, rows: int,
+                  max_render_points: int = 8192,
                   fov_margin: float = 0.005) -> ColorMap:
-    """Color all registry points in recently-visited voxels from `image`
-    (renderPointsInRecentVoxel, rgbMapTracker.cpp:181-237)."""
-    K = cmap.vox.points.shape[1]
+    """Color registry points in recently-visited voxels from `image`
+    (renderPointsInRecentVoxel, rgbMapTracker.cpp:181-237).
+
+    Visibility (projection + FoV) is evaluated on the voxel table's own
+    position blocks (contiguous gathers, no registry traffic); only the
+    up-to-`max_render_points` visible winners pay the registry row
+    gather + image sampling + Bayesian-fusion scatter.  Like the
+    `max_render_voxels` bound, the point budget bounds per-frame work —
+    overflowing points are re-rendered on a later visit of their voxel."""
+    K = cmap.vox.block_capacity
     recent = (cmap.vox_last_visit
               == jnp.asarray(obs_time, cmap.vox_last_visit.dtype))
     _, slot_idx = jax.lax.top_k(recent.astype(jnp.float32),
                                 max_render_voxels)
     slot_ok = recent[slot_idx]
 
-    ids = cmap.vox.point_ids[slot_idx]                      # (V, K)
+    ids = vm.gather_blocks(cmap.vox.point_ids, slot_idx, K)  # (V, K)
+    pts_blk = vm.gather_blocks(cmap.vox.points, slot_idx, K)  # (V, K, 3)
     cnt = jnp.where(slot_ok, cmap.vox.counts[slot_idx], 0)
     id_ok = (jnp.arange(K)[None, :] < cnt[:, None]) & (ids >= 0)
     ids = ids.reshape(-1)
     id_ok = id_ok.reshape(-1)
-    registry = cmap.reg.shape[0]
-    ids_c = jnp.clip(ids, 0, registry - 1)
-    reg_rows = cmap.reg[ids_c]                              # ONE row gather
-    id_ok = id_ok & (reg_rows[:, C_VALID] > 0.5)
+    pts_all = pts_blk.reshape(-1, 3)
 
-    pts = reg_rows[:, C_POS]
-    uv, z_ok, _pc = project_points(pts, q_cw, t_cw, intr)
-    vis = id_ok & z_ok & in_fov(uv, cols, rows, fov_margin)
+    uv_all, z_ok, _pc = project_points(pts_all, q_cw, t_cw, intr)
+    vis = id_ok & z_ok & in_fov(uv_all, cols, rows, fov_margin)
+
+    # Compact visible winners to the render budget.
+    R = max_render_points
+    rank = jnp.cumsum(vis.astype(jnp.int32)) - 1
+    dst = jnp.where(vis & (rank < R), rank, R)
+    n_all = ids.shape[0]
+    sel = jnp.zeros((R,), jnp.int32).at[dst].set(
+        jnp.arange(n_all, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    live = jnp.zeros((R,), bool).at[dst].set(True, mode="drop",
+                                             unique_indices=True)
+
+    registry = cmap.reg.shape[0]
+    ids_c = jnp.clip(ids[sel], 0, registry - 1)
+    reg_rows = cmap.reg[ids_c]                              # (R, 16) gather
+    live = live & (reg_rows[:, C_VALID] > 0.5)
+
+    pts = pts_all[sel]
+    uv = uv_all[sel]
     color = image_ops.bilinear_sample(image, uv)
     depth = jnp.linalg.norm(pts - t_wc_world[None, :], axis=-1)
-    return update_rgb(cmap, ids_c, color, depth, obs_time, vis,
+    return update_rgb(cmap, ids_c, color, depth, obs_time, live,
                       rows=reg_rows)
 
 
@@ -328,7 +376,8 @@ def select_points_for_projection(cmap: ColorMap, q_cw: jnp.ndarray,
     _, slot_idx = jax.lax.top_k(recent.astype(jnp.float32), max_render_voxels)
     slot_ok = recent[slot_idx] & (cmap.vox.counts[slot_idx] > 0)
     last = jnp.maximum(cmap.vox.counts[slot_idx] - 1, 0)
-    ids = cmap.vox.point_ids[slot_idx, last]                # newest per voxel
+    ids = cmap.vox.point_ids[
+        slot_idx * cmap.vox.block_capacity + last]          # newest per voxel
     registry = cmap.reg.shape[0]
     ids_c = jnp.clip(ids, 0, registry - 1)
     reg_rows = cmap.reg[ids_c]

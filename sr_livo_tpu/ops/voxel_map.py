@@ -61,9 +61,39 @@ class VoxelMap(NamedTuple):
     """
     keys: jnp.ndarray      # (C, 3) int32 voxel coords; keys[:,0]==EMPTY => free
     sig: jnp.ndarray       # (C,) uint32 signature; SIG_EMPTY => free slot
-    points: jnp.ndarray    # (C, K, 3) f32 world positions
+    points: jnp.ndarray    # (C*K, 3) f32 positions; block c at rows [c*K, c*K+K)
     counts: jnp.ndarray    # (C,) int32 number of valid points in the block
-    point_ids: jnp.ndarray  # (C, K) int32 external payload id (-1 = none)
+    point_ids: jnp.ndarray  # (C*K,) int32 external payload id (-1 = none)
+
+    # `points`/`point_ids` are stored FLAT, not (C, K, ...): TPU scatter into
+    # a (C, K, 3) operand forces a physical relayout of the whole table
+    # around the update (~11 ms at 2^19x20 blocks) whereas a row scatter
+    # into the flat layout is ~1 ms and alias-updates in place under
+    # donation.  Block row c occupies rows [c*K, (c+1)*K).  GATHERS go the
+    # other way: an element-wise flat gather of (..., K) rows is ~8x slower
+    # than gathering whole blocks through a reshape view — use
+    # `gather_blocks`, never `points[slots*K + arange(K)]`.
+
+    @property
+    def block_capacity(self) -> int:
+        return self.points.shape[0] // self.counts.shape[0]
+
+
+def block_rows(slots: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Flat row indices of all K slots of each block: (..., K).
+    For SCATTER index computation only — for gathers use gather_blocks."""
+    return slots[..., None] * K + jnp.arange(K, dtype=jnp.int32)
+
+
+def gather_blocks(table: jnp.ndarray, slots: jnp.ndarray, K: int
+                  ) -> jnp.ndarray:
+    """Gather whole K-row blocks from a flat table: (..., K[, d]).
+
+    Lowered as a row gather through a (C, K[, d]) reshape view — one
+    contiguous K-row slice per index, ~8x faster on TPU than an
+    element-wise gather of the same rows."""
+    C = table.shape[0] // K
+    return table.reshape((C, K) + table.shape[1:])[slots]
 
 
 def make_map(capacity: int, voxel_points: int, dtype=jnp.float32) -> VoxelMap:
@@ -71,9 +101,9 @@ def make_map(capacity: int, voxel_points: int, dtype=jnp.float32) -> VoxelMap:
     return VoxelMap(
         keys=jnp.full((capacity, 3), EMPTY, jnp.int32),
         sig=jnp.full((capacity,), SIG_EMPTY, jnp.uint32),
-        points=jnp.zeros((capacity, voxel_points, 3), dtype),
+        points=jnp.zeros((capacity * voxel_points, 3), dtype),
         counts=jnp.zeros((capacity,), jnp.int32),
-        point_ids=jnp.full((capacity, voxel_points), -1, jnp.int32),
+        point_ids=jnp.full((capacity * voxel_points,), -1, jnp.int32),
     )
 
 
@@ -162,7 +192,7 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     were stored.  `point_ids` optionally tags stored points with an external
     payload id (used by the color-map registry).
     """
-    capacity, K = vmap.points.shape[0], vmap.points.shape[1]
+    capacity, K = vmap.counts.shape[0], vmap.block_capacity
     n = pts.shape[0]
     b = n if budget is None else min(budget, n)
     coords = voxel_coords(pts, voxel_size)
@@ -183,7 +213,7 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     # points + block-not-full, and claim eligibility for absent voxels.
     blk_cnt = jnp.where(has_slot, vmap.counts[safe_slot], 0)   # (n,)
     if min_distance > 0.0:
-        blk_pts = vmap.points[safe_slot]                  # (n, K, 3)
+        blk_pts = gather_blocks(vmap.points, safe_slot, K)  # (n, K, 3)
         occ = jnp.arange(K)[None, :] < blk_cnt[:, None]
         d2 = jnp.sum((blk_pts - pts[:, None, :]) ** 2, axis=-1)
         min_d2 = jnp.min(jnp.where(occ, d2, jnp.inf), axis=-1)
@@ -272,24 +302,20 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     pos = cnt_c + rank
     accept_c = ok_c & (pos < K)
 
-    # Phase 6 — budget-sized scatters.
+    # Phase 6 — budget-sized scatters directly into the flat table.
     flat_idx = jnp.where(accept_c, safe_c * K + pos, capacity * K + idx_b)
-    points_flat = vmap.points.reshape(capacity * K, 3)
-    points_flat = points_flat.at[flat_idx].set(pts_c, mode="drop",
-                                               unique_indices=True)
-    ids_flat = vmap.point_ids.reshape(capacity * K)
-    ids_flat = ids_flat.at[flat_idx].set(ids_c, mode="drop",
-                                         unique_indices=True)
+    points_new = vmap.points.at[flat_idx].set(pts_c, mode="drop",
+                                              unique_indices=True)
+    ids_new = vmap.point_ids.at[flat_idx].set(ids_c, mode="drop",
+                                              unique_indices=True)
     add = jnp.zeros((capacity,), jnp.int32).at[
         jnp.where(accept_c, safe_c, capacity)].add(1, mode="drop")
     counts = vmap.counts + add
 
     accepted = jnp.zeros((n,), bool).at[sel].set(accept_c)
 
-    return VoxelMap(keys=keys, sig=sig_col,
-                    points=points_flat.reshape(capacity, K, 3),
-                    counts=counts,
-                    point_ids=ids_flat.reshape(capacity, K)), accepted
+    return VoxelMap(keys=keys, sig=sig_col, points=points_new,
+                    counts=counts, point_ids=ids_new), accepted
 
 
 _OFFSETS27 = None
@@ -317,7 +343,7 @@ def knn(vmap: VoxelMap, queries: jnp.ndarray, *, voxel_size: float,
     Returns (neighbors (Q, M, 3), neighbor_valid (Q, M) bool, dists (Q, M))
     sorted ascending by distance.
     """
-    K = vmap.points.shape[1]
+    K = vmap.block_capacity
     q_coords = voxel_coords(queries, voxel_size)           # (Q, 3)
     offs = _offsets(nb_voxels)                             # (V, 3)
     coords27 = q_coords[:, None, :] + offs[None, :, :]     # (Q, V, 3)
@@ -327,7 +353,7 @@ def knn(vmap: VoxelMap, queries: jnp.ndarray, *, voxel_size: float,
 
     cnt = jnp.where(found, vmap.counts[safe], 0)           # (Q, V)
     cnt = jnp.where(cnt >= threshold_capacity, cnt, 0)
-    cand = vmap.points[safe]                               # (Q, V, K, 3)
+    cand = gather_blocks(vmap.points, safe, K)             # (Q, V, K, 3)
     cand_ok = jnp.arange(K)[None, None, :] < cnt[:, :, None]
 
     Q, V = slots.shape
@@ -360,7 +386,7 @@ def remove_far_voxels(vmap: VoxelMap, location: jnp.ndarray,
     block by zeroing counts; the slot keeps matching its key and can be
     refilled by future inserts of the same voxel.
     """
-    first_pt = vmap.points[:, 0, :]
+    first_pt = vmap.points[::vmap.block_capacity, :]
     d2 = jnp.sum((first_pt - location[None, :]) ** 2, axis=-1)
     evict = (vmap.counts > 0) & (d2 > distance * distance)
     counts = jnp.where(evict, 0, vmap.counts)

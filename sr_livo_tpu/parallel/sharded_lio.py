@@ -67,58 +67,48 @@ def _sharded_knn(local_map: vm.VoxelMap, queries: jnp.ndarray, *,
     return nb, ok, dist
 
 
-def _sharded_build_residual_blocks(
-    local_map, keypts_raw, keypts_valid, q, t, last_trans, r_il, t_il,
-    threshold_capacity, *, icp, max_probe, nb_voxels, n_shards):
-    """Distributed buildPlaneResiduals: kNN merged across shards, then each
-    shard reduces the normal-equation blocks of its keypoint slice; psum
-    yields the global H^T H / H^T h."""
-    nk = keypts_raw.shape[0]
+def _sharded_associate(local_map, world, keypts_valid, location,
+                       threshold_capacity, *, icp, max_probe, nb_voxels,
+                       n_shards):
+    """Distributed association: kNN merged across shards, then each shard
+    fits plane normals (PCA) for its keypoint slice.  Returns the
+    shard-sliced association tuple consumed by `_blocks_from_assoc`."""
+    nk = world.shape[0]
     me = jax.lax.axis_index(MAP_AXIS)
-    lam_sum = abs(icp.weight_alpha) + abs(icp.weight_neighborhood)
-    lam_w = abs(icp.weight_alpha) / lam_sum
-    lam_nb = abs(icp.weight_neighborhood) / lam_sum
-
-    location = keypts_raw @ r_il.T + t_il
-    world = lie.quat_rotate(jnp.broadcast_to(q, (nk, 4)), location) + t
-
     neighbors, nb_ok, _ = _sharded_knn(
         local_map, world, voxel_size=icp.size_voxel_map,
         max_neighbors=icp.max_number_neighbors, max_probe=max_probe,
         nb_voxels=nb_voxels, threshold_capacity=threshold_capacity)
-
-    # Each shard finishes the per-residual math for its slice of keypoints.
     qs = nk // n_shards
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, me * qs, qs, axis=0)
     nb_s, ok_s = sl(neighbors), sl(nb_ok)
-    world_s, loc_s, val_s = sl(world), sl(location), sl(keypts_valid)
-
+    loc_s, val_s = sl(location), sl(keypts_valid)
     n_found = jnp.sum(ok_s, axis=1).astype(jnp.int32)
-    enough = n_found >= icp.min_number_neighbors
-    normal, a2d, _ = nb_ops.neighborhood_distribution(nb_s, n_found)
-    flip = jnp.sum(normal * (last_trans[None, :] - world_s), axis=-1) < 0
-    normal = jnp.where(flip[:, None], -normal, normal)
+    normal0, a2d, _ = nb_ops.neighborhood_distribution(nb_s, n_found)
+    return normal0, a2d, nb_s[:, 0, :], n_found, loc_s, val_s
 
-    planarity_w = a2d ** icp.power_planarity
-    closest = nb_s[:, 0, :]
-    closest_dist = jnp.linalg.norm(closest - world_s, axis=-1)
-    weight = (lam_w * planarity_w
-              + lam_nb * jnp.exp(-closest_dist / (
-                  icp.max_dist_to_plane_icp * icp.min_number_neighbors)))
-    norm_offset = -jnp.sum(normal * closest, axis=-1)
-    distance = jnp.sum(normal * world_s, axis=-1) + norm_offset
-    good = val_s & enough & (distance < icp.max_dist_to_plane_icp)
+
+def _blocks_from_assoc(assoc, q, t, last_trans, *, icp, n_shards):
+    """Per-iteration normal-equation blocks from a fixed association;
+    psum yields the global H^T H / H^T h (Schur-style reduction)."""
+    normal0, a2d, closest, n_found, loc_s, val_s = assoc
+    world_s = lie.quat_rotate(
+        jnp.broadcast_to(q, (loc_s.shape[0], 4)), loc_s) + t
+    lam_sum = abs(icp.weight_alpha) + abs(icp.weight_neighborhood)
+    h_x, h, good = lio_mod._plane_rows_from_assoc(
+        normal0, a2d, closest, n_found, world_s, loc_s,
+        lie.quat_to_rot(q), last_trans, val_s,
+        lam_w=abs(icp.weight_alpha) / lam_sum,
+        lam_nb=abs(icp.weight_neighborhood) / lam_sum,
+        power_planarity=icp.power_planarity,
+        max_dist=icp.max_dist_to_plane_icp,
+        min_neighbors=icp.min_number_neighbors)
     if icp.max_num_residuals > 0:
         # per-shard proportional cap (global prefix order would serialize)
         prefix = jnp.cumsum(good.astype(jnp.int32))
         good = good & (prefix <= icp.max_num_residuals // n_shards)
-
-    w = jnp.where(good, weight, 0.0)
-    r_world = lie.quat_to_rot(q)
-    j_rot = -jnp.einsum("ni,ij,njk->nk", normal, r_world, lie.skew(loc_s))
-    h_x = jnp.concatenate([normal * w[:, None], j_rot * w[:, None]], axis=-1)
-    h = jnp.where(good, distance * weight, 0.0)
-
+        h_x = jnp.where(good[:, None], h_x, 0.0)
+        h = jnp.where(good, h, 0.0)
     hth = jax.lax.psum(h_x.T @ h_x, MAP_AXIS)
     hth_h = jax.lax.psum(h_x.T @ h, MAP_AXIS)
     num = jax.lax.psum(jnp.sum(good).astype(jnp.int32), MAP_AXIS)
@@ -127,15 +117,36 @@ def _sharded_build_residual_blocks(
 
 def _sharded_iekf(state, local_map, keypts_raw, keypts_valid, last_trans,
                   r_il, t_il, threshold_capacity, *, icp, max_probe,
-                  nb_voxels, max_iters, laser_point_cov, n_shards):
+                  nb_voxels, max_iters, laser_point_cov, n_shards,
+                  cache_association=False):
     pred = state
+    nk = keypts_raw.shape[0]
+    location = keypts_raw @ r_il.T + t_il
+
+    if cache_association:
+        world0 = lie.quat_rotate(
+            jnp.broadcast_to(state.q, (nk, 4)), location) + state.p
+        assoc0 = _sharded_associate(
+            local_map, world0, keypts_valid, location, threshold_capacity,
+            icp=icp, max_probe=max_probe, nb_voxels=nb_voxels,
+            n_shards=n_shards)
+
+    def blocks(s):
+        if cache_association:
+            assoc = assoc0
+        else:
+            world = lie.quat_rotate(
+                jnp.broadcast_to(s.q, (nk, 4)), location) + s.p
+            assoc = _sharded_associate(
+                local_map, world, keypts_valid, location,
+                threshold_capacity, icp=icp, max_probe=max_probe,
+                nb_voxels=nb_voxels, n_shards=n_shards)
+        return _blocks_from_assoc(assoc, s.q, s.p, last_trans, icp=icp,
+                                  n_shards=n_shards)
 
     def body(carry):
         s, it, _conv, _ok, _n, cov_final = carry
-        hth, hth_h, num = _sharded_build_residual_blocks(
-            local_map, keypts_raw, keypts_valid, s.q, s.p, last_trans,
-            r_il, t_il, threshold_capacity, icp=icp, max_probe=max_probe,
-            nb_voxels=nb_voxels, n_shards=n_shards)
+        hth, hth_h, num = blocks(s)
         enough = num >= icp.min_number_neighbors
 
         d_x_cur, d_so3, so3_dg, b_x_pred = lio_mod._error_vs_prediction(s, pred)
@@ -275,7 +286,8 @@ class ShardedLioEngine:
             self.r_il, self.t_il, sweep.threshold_capacity,
             icp=icp, max_probe=sh.map_max_probe, nb_voxels=nb_voxels,
             max_iters=max_iters, laser_point_cov=cfg.laser_point_cov,
-            n_shards=self.n_shards)
+            n_shards=self.n_shards,
+            cache_association=cfg.cache_association)
         state_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(sweep.do_optimize, a, b),
             state_upd, state_pred)

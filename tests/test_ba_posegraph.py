@@ -98,14 +98,15 @@ def test_sharded_ba_matches_single():
     cap = m.keys.shape[0]
     sub_cap = cap // 8
     sharded = vm.make_map(cap, 20)
-    pts_flat = np.asarray(m.points).reshape(-1, 3)
+    pts_flat = np.asarray(m.points)
     counts = np.asarray(m.counts)
     keys = np.asarray(m.keys)
     occupied = np.nonzero(counts > 0)[0]
     sub_maps = [vm.make_map(sub_cap, 20) for _ in range(8)]
     for slot in occupied:
         c = counts[slot]
-        pts_s = np.asarray(m.points[slot][:c])
+        K = m.block_capacity
+        pts_s = np.asarray(m.points)[slot * K: slot * K + c]
         shard = int(shard_of(jnp.asarray(keys[slot][None]), 8)[0])
         sub_maps[shard], _ = vm.insert(
             sub_maps[shard], jnp.asarray(pts_s), jnp.ones(c, bool),

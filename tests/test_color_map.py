@@ -15,7 +15,7 @@ def _fresh(reg=4096, cap=1 << 12):
 def test_insert_allocates_registry():
     m = _fresh()
     pts = jnp.asarray(RNG.uniform(-5, 5, (200, 3)), jnp.float32)
-    m = cm.color_insert(m, pts, jnp.ones(200, bool), 1.0,
+    m, _ = cm.color_insert(m, pts, jnp.ones(200, bool), 1.0,
                         voxel_size=0.1, min_distance=0.01, max_probe=16)
     n = int(jnp.sum(m.reg_valid))
     assert n > 190  # nearly all distinct at this density
@@ -31,11 +31,11 @@ def test_insert_allocates_registry():
 def test_insert_dedup_blocks_duplicates():
     m = _fresh()
     pts = jnp.asarray(RNG.uniform(0, 1, (50, 3)), jnp.float32)
-    m = cm.color_insert(m, pts, jnp.ones(50, bool), 1.0,
+    m, _ = cm.color_insert(m, pts, jnp.ones(50, bool), 1.0,
                         voxel_size=0.1, min_distance=0.01, max_probe=16)
     n1 = int(jnp.sum(m.reg_valid))
     # same points again: nothing new
-    m = cm.color_insert(m, pts + 1e-4, jnp.ones(50, bool), 2.0,
+    m, _ = cm.color_insert(m, pts + 1e-4, jnp.ones(50, bool), 2.0,
                         voxel_size=0.1, min_distance=0.01, max_probe=16)
     n2 = int(jnp.sum(m.reg_valid))
     assert n2 == n1
@@ -44,12 +44,12 @@ def test_insert_dedup_blocks_duplicates():
 def test_recent_visit_tracking():
     m = _fresh()
     pts = jnp.asarray(RNG.uniform(-2, 2, (100, 3)), jnp.float32)
-    m = cm.color_insert(m, pts, jnp.ones(100, bool), 5.0,
+    m, _ = cm.color_insert(m, pts, jnp.ones(100, bool), 5.0,
                         voxel_size=0.1, min_distance=0.01, max_probe=16)
     n_recent = int(jnp.sum(m.vox_last_visit == 5.0))
     assert n_recent > 50
     # next sweep in a different area: old voxels not recent anymore
-    m = cm.color_insert(m, pts + 10.0, jnp.ones(100, bool), 6.0,
+    m, _ = cm.color_insert(m, pts + 10.0, jnp.ones(100, bool), 6.0,
                         voxel_size=0.1, min_distance=0.01, max_probe=16)
     assert int(jnp.sum(m.vox_last_visit == 6.0)) > 50
     assert int(jnp.sum(m.vox_last_visit == 5.0)) > 0
@@ -97,7 +97,7 @@ def test_render_recent_colors_points():
     # points on the z=5 plane in front of a camera at origin looking +z
     xy = RNG.uniform(-1.5, 1.5, (100, 2))
     pts = np.c_[xy, np.full(100, 5.0)].astype(np.float32)
-    m = cm.color_insert(m, jnp.asarray(pts), jnp.ones(100, bool), 3.0,
+    m, _ = cm.color_insert(m, jnp.asarray(pts), jnp.ones(100, bool), 3.0,
                         voxel_size=0.1, min_distance=0.01, max_probe=16)
     # camera: identity orientation (camera frame == world frame)
     intr = jnp.asarray([100.0, 100.0, 80.0, 60.0], jnp.float32)
@@ -122,7 +122,7 @@ def test_select_points_for_projection_grid():
     m = _fresh()
     xy = RNG.uniform(-1.5, 1.5, (300, 2))
     pts = np.c_[xy, np.full(300, 5.0)].astype(np.float32)
-    m = cm.color_insert(m, jnp.asarray(pts), jnp.ones(300, bool), 3.0,
+    m, _ = cm.color_insert(m, jnp.asarray(pts), jnp.ones(300, bool), 3.0,
                         voxel_size=0.1, min_distance=0.01, max_probe=16)
     intr = jnp.asarray([100.0, 100.0, 80.0, 60.0], jnp.float32)
     ids, uv, ok = cm.select_points_for_projection(

@@ -124,3 +124,36 @@ def test_iekf_residual_cap():
         jnp.zeros(3, jnp.float32), jnp.int32(1), **kw)
     assert bool(summary.success)
     assert int(summary.num_residuals) <= 100
+
+
+def test_iekf_cached_association_matches_full():
+    """The cached-association path (kNN + plane PCA once at the predicted
+    pose) must recover the same pose as per-iteration re-association when
+    the initial error is well under a map voxel."""
+    world = _world_points()
+    m = _build_map(world)
+    keypts = _keypoints_from_world(world)
+
+    d_p = np.array([0.15, -0.12, 0.08], np.float32)
+    d_w = np.array([0.02, -0.03, 0.02], np.float32)
+    st = eskf.init_state()._replace(
+        p=jnp.asarray(d_p),
+        q=lie.exp_so3_quat(jnp.asarray(d_w)))
+    args = (st, m, jnp.asarray(keypts), jnp.ones(keypts.shape[0], bool),
+            jnp.zeros(3, jnp.float32), jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32), jnp.int32(1))
+
+    out_f, sum_f = lio.iekf_update(*args, cache_association=False, **ICP_KW)
+    out_c, sum_c = lio.iekf_update(*args, cache_association=True, **ICP_KW)
+
+    assert bool(sum_c.success)
+    # both land on the true pose (identity)
+    assert float(jnp.linalg.norm(out_c.p)) < 0.01, np.asarray(out_c.p)
+    ang = float(lie.angular_distance_deg(lie.quat_to_so3(out_c.q)))
+    assert ang < 0.2, ang
+    # and agree with the full re-association solve to sub-mm / millidegree
+    assert np.allclose(out_c.p, out_f.p, atol=2e-3)
+    assert float(lie.angular_distance_deg(
+        lie.quat_to_so3(lie.quat_mul(lie.quat_conj(out_f.q),
+                                     out_c.q)))) < 0.05
+    assert np.allclose(out_c.cov, out_f.cov, atol=2e-4)

@@ -30,7 +30,8 @@ def test_insert_and_lookup_roundtrip():
     assert bool(jnp.all(slots >= 0))
     # every stored point is in the block of its own voxel
     for i in [0, 17, 123, 499]:
-        blk = np.asarray(m.points[slots[i]])
+        K = m.block_capacity
+        blk = np.asarray(m.points)[int(slots[i]) * K:(int(slots[i]) + 1) * K]
         cnt = int(m.counts[slots[i]])
         d = np.linalg.norm(blk[:cnt] - np.asarray(pts[i]), axis=-1)
         assert d.min() < 1e-5
