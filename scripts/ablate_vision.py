@@ -137,14 +137,14 @@ def main():
                                                             t_wi)
             color_map = cm.render_recent(
                 color_map, rgb_img, q_cw, t_cw, t_wc, camera.intr,
-                obs_time, max_render_voxels=max_render_voxels, cols=cols,
+                obs_time, cols=cols,
                 rows=rows)
             if stage == "render":
                 return color_map.count, status
 
             cand_ids, cand_uv, cand_ok = cm.select_points_for_projection(
                 color_map, q_cw, t_cw, t_wc, camera.intr, obs_time,
-                max_render_voxels=max_render_voxels, max_out=m, cols=cols,
+                max_out=m, cols=cols,
                 rows=rows, grid_px=track_grid)
             return cand_ids, status
 

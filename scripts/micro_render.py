@@ -66,7 +66,7 @@ def main():
 
     # full render
     rr = jax.jit(functools.partial(
-        cm.render_recent, max_render_voxels=V, cols=vmod.cols,
+        cm.render_recent, cols=vmod.cols,
         rows=vmod.rows))
     print(f"render_recent full      "
           f"{timeit(lambda: rr(cmap, rgb, q_cw, t_cw, t_wc, vmod.camera.intr, ot)):8.2f} ms")

@@ -90,7 +90,7 @@ def main():
             q_wi, t_wi, dt, ot, nv, k1, k2,
             lk_params=vmod.lk_params, cols=vmod.cols, rows=vmod.rows,
             track_grid=vmod.track_grid,
-            max_render_voxels=cfg.shapes.max_render_voxels,
+            max_render_points=cfg.shapes.max_render_points,
             estimate_intrinsic=True, estimate_extrinsic=True)
         vmod.color_map, vmod.tracks = cmap_, trk
         return a
@@ -129,13 +129,11 @@ def main():
     _, t_wc, q_cw, t_cw = cam_mod.world_camera_pose(vmod.camera, q_wi, t_wi)
     rr = jax.jit(lambda cmap, img: cm.render_recent(
         cmap, img, q_cw, t_cw, t_wc, vmod.camera.intr, ot,
-        max_render_voxels=cfg.shapes.max_render_voxels,
         cols=vmod.cols, rows=vmod.rows))
     print(f"render_recent           {timeit(lambda: rr(vmod.color_map, rgb)):8.2f} ms")
 
     sel = jax.jit(lambda cmap: cm.select_points_for_projection(
         cmap, q_cw, t_cw, t_wc, vmod.camera.intr, ot,
-        max_render_voxels=cfg.shapes.max_render_voxels,
         max_out=300, cols=vmod.cols, rows=vmod.rows,
         grid_px=vmod.track_grid))
     print(f"select_for_projection   {timeit(lambda: sel(vmod.color_map)):8.2f} ms")

@@ -73,7 +73,8 @@ class VisionModule:
             self.intr0)
         sh = cfg.shapes
         self.color_map = cm.make_color_map(
-            sh.color_registry, sh.color_capacity, sh.color_voxel_points)
+            sh.color_registry, sh.color_capacity, sh.color_voxel_points,
+            recent=sh.max_render_voxels)
         self.tracks = make_tracks(co.max_tracked_points)
         # The reference's 40 px spacing assumes ~1280 px images
         # (track_windows_size / image_scale_factor, imageProcessing.cpp:131);
@@ -90,7 +91,11 @@ class VisionModule:
         self.first_data = True
         self.n_new_visited = jnp.int32(1)
         self._rng = jax.random.PRNGKey(7)
-        self.stats = []
+        # (t, n_tracked, n_inlier) per rendering frame; counts stay on
+        # device until first read (per-frame int() readbacks would stall
+        # the async dispatch pipeline on the device-tunnel RTT)
+        self._stats: list = []
+        self._stats_pending: list = []
 
     # -- called by the pipeline on EVERY sweep (addPointsToMap color leg) --
     def insert_sweep_points(self, pts_world: jnp.ndarray,
@@ -191,12 +196,28 @@ class VisionModule:
                 lk_params=self.lk_params,
                 cols=self.cols, rows=self.rows,
                 track_grid=self.track_grid,
-                max_render_voxels=self.cfg.shapes.max_render_voxels,
                 max_render_points=self.cfg.shapes.max_render_points,
                 estimate_intrinsic=True, estimate_extrinsic=True)
-        self.stats.append((float(obs_time), int(n_tracked), int(n_inlier)))
+        self._stats_pending.append(
+            (float(obs_time), jnp.stack([n_tracked, n_inlier])))
         self.prev_pyr = cur_pyr
         self.prev_time = obs_time
+
+    @property
+    def stats(self):
+        if self._stats_pending:
+            arr = np.asarray(jnp.stack(
+                [d for (_, d) in self._stats_pending]))
+            self._stats.extend(
+                (t, int(a[0]), int(a[1]))
+                for (t, _), a in zip(self._stats_pending, arr))
+            self._stats_pending = []
+        return self._stats
+
+    @stats.setter
+    def stats(self, value):
+        self._stats = list(value)
+        self._stats_pending = []
 
     def _init_tracks(self, q_wi, t_wi, obs_time):
         """First-frame track seeding (imageProcessing.cpp:127-135)."""
@@ -205,7 +226,6 @@ class VisionModule:
         m = self.tracks.reg_id.shape[0]
         ids, uv, ok = cm.select_points_for_projection(
             self.color_map, q_cw, t_cw, t_wc, self.camera.intr, obs_time,
-            max_render_voxels=self.cfg.shapes.max_render_voxels,
             max_out=m, cols=self.cols, rows=self.rows,
             grid_px=self.track_grid)
         self.tracks = TrackState(
@@ -215,11 +235,11 @@ class VisionModule:
 
 
 @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=(
-    "lk_params", "cols", "rows", "track_grid", "max_render_voxels",
+    "lk_params", "cols", "rows", "track_grid",
     "max_render_points", "estimate_intrinsic", "estimate_extrinsic"))
 def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
                  q_wi, t_wi, dt, obs_time, n_new_visited, key_f, key_pnp, *,
-                 lk_params, cols, rows, track_grid, max_render_voxels,
+                 lk_params, cols, rows, track_grid,
                  max_render_points, estimate_intrinsic, estimate_extrinsic):
     """One fused device program for the whole vision frame."""
     m = tracks.reg_id.shape[0]
@@ -281,8 +301,7 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     _, t_wc, q_cw, t_cw = cam_mod.world_camera_pose(camera, q_wi, t_wi)
     color_map = cm.render_recent(
         color_map, rgb_img, q_cw, t_cw, t_wc, camera.intr, obs_time,
-        max_render_voxels=max_render_voxels, cols=cols, rows=rows,
-        max_render_points=max_render_points)
+        cols=cols, rows=rows, max_render_points=max_render_points)
 
     # ---- 8. track maintenance (updateAndAppendTrackPoints, :13-102) ----
     proj_uv, z_ok, _pc = cm.project_points(pts_world, q_cw, t_cw, camera.intr)
@@ -312,8 +331,7 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     # candidates from the map (selectPointsForProjection via refresh)
     cand_ids, cand_uv, cand_ok = cm.select_points_for_projection(
         color_map, q_cw, t_cw, t_wc, camera.intr, obs_time,
-        max_render_voxels=max_render_voxels, max_out=m, cols=cols,
-        rows=rows, grid_px=track_grid)
+        max_out=m, cols=cols, rows=rows, grid_px=track_grid)
     # exclude already-tracked ids and occupied cells
     tracked_ids = jnp.where(keep, tracks.reg_id, -2)
     already = jnp.any(cand_ids[:, None] == tracked_ids[None, :], axis=1)

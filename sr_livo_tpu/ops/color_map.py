@@ -59,6 +59,9 @@ class ColorMap(NamedTuple):
     # resolution (a 2^-31 signature collision wrongly drops one point —
     # immaterial for a visualization map)
     dedup_sig: jnp.ndarray       # (D,) uint32
+    # compacted list of voxel slots touched by the latest insert (-1 pad);
+    # replaces a top_k scan over the whole table in the render/select paths
+    recent_slots: jnp.ndarray    # (V,) int32
 
     # ---- column views (convenience accessors; slices are cheap in XLA) --
     @property
@@ -99,13 +102,14 @@ class ColorMap(NamedTuple):
 
 
 def make_color_map(registry: int, capacity: int, voxel_points: int,
-                   dtype=jnp.float32) -> ColorMap:
+                   recent: int = 2048, dtype=jnp.float32) -> ColorMap:
     return ColorMap(
         reg=jnp.zeros((registry, REG_WIDTH), dtype),
         count=jnp.int32(0),
         vox=vm.make_map(capacity, voxel_points, dtype),
         vox_last_visit=jnp.full((capacity,), -1.0, dtype),
         dedup_sig=jnp.full((capacity * 2,), vm.SIG_EMPTY, jnp.uint32),
+        recent_slots=jnp.full((recent,), -1, jnp.int32),
     )
 
 
@@ -211,8 +215,22 @@ def color_insert(cmap: ColorMap, pts: jnp.ndarray, valid: jnp.ndarray,
     n_new_visited = jnp.sum(
         (visit == now) & (cmap.vox_last_visit != now)).astype(jnp.int32)
 
+    # compacted unique touched-slot list for the render/select paths
+    # (winner-per-slot arbitration by scatter-min, then stable compaction)
+    cap_v = cmap.vox_last_visit.shape[0]
+    idx_pts = jnp.arange(n, dtype=jnp.int32)
+    claim = jnp.full((cap_v,), n, jnp.int32).at[
+        jnp.where(ok, slots, cap_v)].min(idx_pts, mode="drop")
+    winner = ok & (claim[jnp.clip(slots, 0, cap_v - 1)] == idx_pts)
+    n_recent = cmap.recent_slots.shape[0]
+    vrank = jnp.cumsum(winner.astype(jnp.int32)) - 1
+    vdst = jnp.where(winner & (vrank < n_recent), vrank, n_recent)
+    recent_slots = jnp.full((n_recent,), -1, jnp.int32).at[vdst].set(
+        slots, mode="drop", unique_indices=True)
+
     new_map = cmap._replace(reg=reg, count=count, vox=vox_new,
-                            vox_last_visit=visit, dedup_sig=dedup_sig)
+                            vox_last_visit=visit, dedup_sig=dedup_sig,
+                            recent_slots=recent_slots)
     return new_map, n_new_visited
 
 
@@ -295,28 +313,28 @@ def update_rgb(cmap: ColorMap, ids: jnp.ndarray, obs_rgb: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_render_voxels", "max_render_points", "cols", "rows"))
+    "max_render_points", "cols", "rows"))
 def render_recent(cmap: ColorMap, image: jnp.ndarray, q_cw: jnp.ndarray,
                   t_cw: jnp.ndarray, t_wc_world: jnp.ndarray,
                   intr: jnp.ndarray, obs_time, *,
-                  max_render_voxels: int, cols: int, rows: int,
+                  cols: int, rows: int,
                   max_render_points: int = 8192,
                   fov_margin: float = 0.005) -> ColorMap:
     """Color registry points in recently-visited voxels from `image`
     (renderPointsInRecentVoxel, rgbMapTracker.cpp:181-237).
 
-    Visibility (projection + FoV) is evaluated on the voxel table's own
+    The recent-voxel set is the compacted `recent_slots` list recorded by
+    the latest `color_insert` (no full-table scan).  Visibility
+    (projection + FoV) is evaluated on the voxel table's own
     position blocks (contiguous gathers, no registry traffic); only the
     up-to-`max_render_points` visible winners pay the registry row
     gather + image sampling + Bayesian-fusion scatter.  Like the
-    `max_render_voxels` bound, the point budget bounds per-frame work —
+    recent-voxel bound, the point budget bounds per-frame work —
     overflowing points are re-rendered on a later visit of their voxel."""
     K = cmap.vox.block_capacity
-    recent = (cmap.vox_last_visit
-              == jnp.asarray(obs_time, cmap.vox_last_visit.dtype))
-    _, slot_idx = jax.lax.top_k(recent.astype(jnp.float32),
-                                max_render_voxels)
-    slot_ok = recent[slot_idx]
+    slot_ok = cmap.recent_slots >= 0
+    slot_idx = jnp.clip(cmap.recent_slots, 0,
+                        cmap.vox_last_visit.shape[0] - 1)
 
     ids = vm.gather_blocks(cmap.vox.point_ids, slot_idx, K)  # (V, K)
     pts_blk = vm.gather_blocks(cmap.vox.points, slot_idx, K)  # (V, K, 3)
@@ -354,11 +372,11 @@ def render_recent(cmap: ColorMap, image: jnp.ndarray, q_cw: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_render_voxels", "max_out", "cols", "rows", "grid_px"))
+    "max_out", "cols", "rows", "grid_px"))
 def select_points_for_projection(cmap: ColorMap, q_cw: jnp.ndarray,
                                  t_cw: jnp.ndarray, t_wc_world: jnp.ndarray,
                                  intr: jnp.ndarray, obs_time, *,
-                                 max_render_voxels: int, max_out: int,
+                                 max_out: int,
                                  cols: int, rows: int, grid_px: int = 10,
                                  fov_margin: float = 0.005,
                                  min_depth: float = 0.1,
@@ -367,14 +385,14 @@ def select_points_for_projection(cmap: ColorMap, q_cw: jnp.ndarray,
                                             jnp.ndarray]:
     """Candidate map points for track replenishment
     (selectPointsForProjection, rgbMapTracker.cpp:45-152): one representative
-    (the newest) point per recent voxel, deduplicated on a `grid_px` image
-    grid keeping the closest-depth point per cell.
+    (the newest) point per recent voxel (the `recent_slots` list from the
+    latest insert), deduplicated on a `grid_px` image grid keeping the
+    closest-depth point per cell.
 
     Returns (ids (max_out,), uv (max_out, 2), valid (max_out,))."""
-    recent = (cmap.vox_last_visit
-              == jnp.asarray(obs_time, cmap.vox_last_visit.dtype))
-    _, slot_idx = jax.lax.top_k(recent.astype(jnp.float32), max_render_voxels)
-    slot_ok = recent[slot_idx] & (cmap.vox.counts[slot_idx] > 0)
+    slot_idx = jnp.clip(cmap.recent_slots, 0,
+                        cmap.vox_last_visit.shape[0] - 1)
+    slot_ok = (cmap.recent_slots >= 0) & (cmap.vox.counts[slot_idx] > 0)
     last = jnp.maximum(cmap.vox.counts[slot_idx] - 1, 0)
     ids = cmap.vox.point_ids[
         slot_idx * cmap.vox.block_capacity + last]          # newest per voxel

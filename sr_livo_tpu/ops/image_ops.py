@@ -160,12 +160,12 @@ def clahe(gray: jnp.ndarray, clip_limit: float, n_tiles: int,
     lut = cdf * (255.0 / tile_px)                       # (T, bins)
     lut = lut.reshape(n_tiles, n_tiles, n_bins)
 
-    # Per-pixel interpolation between the 4 surrounding tile LUTs,
-    # formulated as one-hot matmuls on the MXU: a per-pixel gather from a
-    # (T, T, 256) table is the slowest op class on TPU, while
-    # D[y, x, t] = sum_b onehot(q)[y, x, b] * LUT[ty(y), t, b] is two
-    # dense (W, 256) x (256, T) matmuls per row — ~11 GFLOP total, MXU
-    # territory — followed by a tiny weighted t-contraction.
+    # Per-pixel interpolation between the 4 surrounding tile LUTs.  The
+    # x-side tile blend is folded into per-row-tile tables
+    # A[r, x, b] = sum_t w_x[x, t] * lut[r, t, b] (tiny matmuls), after
+    # which the application is ONE flat gather per y-side:
+    # out0[y, x] = A[ty0[y], x, q[y, x]].  This avoids materializing a
+    # (H, W, 256) one-hot tensor (hundreds of MB of HBM traffic at VGA).
     ys = jnp.arange(ph, dtype=jnp.float32)
     xs = jnp.arange(pw, dtype=jnp.float32)
     ty = (ys - th / 2.0 + 0.5) / th
@@ -177,21 +177,17 @@ def clahe(gray: jnp.ndarray, clip_limit: float, n_tiles: int,
     fy = jnp.clip(ty - ty0, 0.0, 1.0)[:, None]
     fx = jnp.clip(tx - tx0, 0.0, 1.0)
 
-    qimg = jnp.clip(img.astype(jnp.int32), 0, n_bins - 1)
-    oh = (qimg[..., None] == jnp.arange(n_bins, dtype=jnp.int32)
-          ).astype(img.dtype)                           # (ph, pw, bins)
     # x-side blend folded into a dense (pw, T) weight matrix.
     w_x = (jnp.zeros((pw, n_tiles), img.dtype)
            .at[jnp.arange(pw), tx0].add(1.0 - fx)
            .at[jnp.arange(pw), tx1].add(fx))
-    ly0 = jnp.take(lut, ty0, axis=0)                    # (ph, T, bins)
-    ly1 = jnp.take(lut, ty1, axis=0)
-    d0 = jnp.einsum("yxb,ytb->yxt", oh, ly0,
-                    preferred_element_type=img.dtype)   # (ph, pw, T)
-    d1 = jnp.einsum("yxb,ytb->yxt", oh, ly1,
-                    preferred_element_type=img.dtype)
-    out0 = jnp.einsum("yxt,xt->yx", d0, w_x)
-    out1 = jnp.einsum("yxt,xt->yx", d1, w_x)
+    a_tab = jnp.einsum("xt,rtb->rxb", w_x, lut,
+                       preferred_element_type=img.dtype)  # (T, pw, bins)
+    a_flat = a_tab.reshape(-1)
+    qimg = jnp.clip(img.astype(jnp.int32), 0, n_bins - 1)
+    base = jnp.arange(pw, dtype=jnp.int32)[None, :] * n_bins + qimg
+    out0 = jnp.take(a_flat, ty0[:, None] * (pw * n_bins) + base)
+    out1 = jnp.take(a_flat, ty1[:, None] * (pw * n_bins) + base)
     out = (1 - fy) * out0 + fy * out1
     return out[:h, :w]
 
@@ -218,17 +214,30 @@ def equalize_color_ycrcb(img: jnp.ndarray, n_tiles: int) -> jnp.ndarray:
     return jnp.clip(out, 0.0, 255.0)
 
 
+def _conv_sep(img: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Small odd-length 1-D convolution along `axis` of a 2-D image as
+    shifted-slice adds (zero border).  Pure VPU elementwise work — single-
+    channel conv ops lower poorly on TPU (no MXU mapping at C=1)."""
+    taps = k.shape[0]
+    r = taps // 2
+    pad = [(r, r) if a == axis else (0, 0) for a in range(2)]
+    p = jnp.pad(img, pad)
+    h, w = img.shape
+    out = None
+    for i in range(taps):
+        sl = (slice(i, i + h), slice(None)) if axis == 0 \
+            else (slice(None), slice(i, i + w))
+        term = k[i] * p[sl]    # correlation order (lax.conv semantics)
+        out = term if out is None else out + term
+    return out
+
+
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """Gaussian 5x5 blur + 2x decimation (cv::pyrDown equivalent)."""
     k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
-    x = img[None, :, :, None]
-    x = jax.lax.conv_general_dilated(
-        x, k.reshape(1, 5, 1, 1), (1, 1), [(0, 0), (2, 2)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    x = jax.lax.conv_general_dilated(
-        x, k.reshape(5, 1, 1, 1), (1, 1), [(2, 2), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return x[0, ::2, ::2, 0]
+    x = _conv_sep(img, k, axis=1)
+    x = _conv_sep(x, k, axis=0)
+    return x[::2, ::2]
 
 
 def build_pyramid(gray: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
@@ -246,16 +255,9 @@ def scharr_derivatives(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     via FLT_SCALE — here we keep float and normalize by 32)."""
     smooth = jnp.asarray([3.0, 10.0, 3.0], img.dtype)
     diff = jnp.asarray([-1.0, 0.0, 1.0], img.dtype)
-    x = img[None, :, :, None]
 
-    def sep(kh, kw):
-        y = jax.lax.conv_general_dilated(
-            x, kh.reshape(1, 3, 1, 1), (1, 1), [(0, 0), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
-            y, kw.reshape(3, 1, 1, 1), (1, 1), [(1, 1), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y[0, :, :, 0]
+    def sep(kx, ky):
+        return _conv_sep(_conv_sep(img, kx, axis=1), ky, axis=0)
 
     dx = sep(diff, smooth) / 32.0
     dy = sep(smooth, diff) / 32.0

@@ -54,7 +54,12 @@ class LivoPipeline:
         self.initialized = False
         self.current_time = -1.0
         self.index_frame = 1
-        self.records: List[FrameRecord] = []
+        # Records are kept as ONE packed device vector per frame and
+        # materialized to FrameRecords in a single batched transfer on
+        # first read: per-frame np.asarray round trips through the device
+        # tunnel would serialize the whole pipeline (RTT >> compute).
+        self._records: List[FrameRecord] = []
+        self._pending_records: list = []     # (time, rendering, (19,) dev)
         self._last_imu_sample = None
         self.timers = StageTimers(sync=False)
 
@@ -155,18 +160,41 @@ class LivoPipeline:
             with self.timers.stage("backend"):
                 self.backend.maybe_add_keyframe(self, out, meas)
 
-        self.records.append(FrameRecord(
-            time=meas.time_image,
-            position=np.asarray(out.state.p, np.float64),
-            quat_wxyz=np.asarray(out.state.q, np.float64),
-            velocity=np.asarray(out.state.v, np.float64),
-            ba=np.asarray(out.state.ba, np.float64),
-            bg=np.asarray(out.state.bg, np.float64),
-            success=bool(out.summary.success),
-            num_residuals=int(out.summary.num_residuals),
-            iterations=int(out.summary.iterations),
-            rendering=meas.rendering))
+        summ = out.summary
+        rec_vec = jnp.concatenate([
+            out.state.p, out.state.q, out.state.v, out.state.ba,
+            out.state.bg,
+            jnp.stack([summ.success.astype(jnp.float32),
+                       summ.num_residuals.astype(jnp.float32),
+                       summ.iterations.astype(jnp.float32)])])
+        self._pending_records.append(
+            (meas.time_image, meas.rendering, rec_vec))
         self.index_frame += 1
+
+    # ---- records (lazy batched device->host materialization) --------------
+    @property
+    def records(self) -> List[FrameRecord]:
+        self._materialize_records()
+        return self._records
+
+    @records.setter
+    def records(self, value):
+        self._records = list(value)
+        self._pending_records = []
+
+    def _materialize_records(self):
+        if not self._pending_records:
+            return
+        rows = np.asarray(
+            jnp.stack([r for (_, _, r) in self._pending_records]),
+            np.float64)
+        for (t, rend, _), row in zip(self._pending_records, rows):
+            self._records.append(FrameRecord(
+                time=t, position=row[0:3], quat_wxyz=row[3:7],
+                velocity=row[7:10], ba=row[10:13], bg=row[13:16],
+                success=bool(row[16] > 0.5), num_residuals=int(row[17]),
+                iterations=int(row[18]), rendering=rend))
+        self._pending_records = []
 
     # ---- checkpoint / resume ---------------------------------------------
     def save_checkpoint(self, path: str):

@@ -108,7 +108,7 @@ def test_render_recent_colors_points():
     us = np.arange(160, dtype=np.float32)
     img = np.tile(us[None, :, None], (120, 1, 3))
     m = cm.render_recent(m, jnp.asarray(img), q_cw, t_cw, t_wc, intr, 3.0,
-                         max_render_voxels=256, cols=160, rows=120)
+                         cols=160, rows=120)
     ids = np.nonzero(np.asarray(m.reg_valid) & (np.asarray(m.n_rgb) > 0))[0]
     assert len(ids) > 60
     # rendered color equals the projected u coordinate
@@ -128,7 +128,7 @@ def test_select_points_for_projection_grid():
     ids, uv, ok = cm.select_points_for_projection(
         m, lie.quat_identity(), jnp.zeros(3, jnp.float32),
         jnp.zeros(3, jnp.float32), intr, 3.0,
-        max_render_voxels=512, max_out=256, cols=160, rows=120, grid_px=10)
+        max_out=256, cols=160, rows=120, grid_px=10)
     n = int(ok.sum())
     assert n > 20
     uv_ok = np.asarray(uv)[np.asarray(ok)]
