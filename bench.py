@@ -25,7 +25,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from sr_livo_tpu.config import LivoConfig
-    from sr_livo_tpu.models.odometry import LioEngine, SweepInput
+    from sr_livo_tpu.models.odometry import LioEngine, WireSweep
     from sr_livo_tpu.runtime import synthetic
     from sr_livo_tpu.runtime import measurements as meas_mod
 
@@ -69,9 +69,11 @@ def main():
             current = m.time_sweep_begin
         prep = meas_mod.prepare_sweep(m, current, cfg)
         current = prep.new_current_time
-        sweeps.append(SweepInput(
-            raw_pts=jnp.asarray(prep.raw_pts), t_rel=jnp.asarray(prep.t_rel),
-            pt_valid=jnp.asarray(prep.pt_valid),
+        wire = meas_mod.pack_sweep(prep, m.duration)
+        sweeps.append(WireSweep(
+            pts_q=jnp.asarray(wire.pts_q),
+            scale=jnp.float32(wire.scale),
+            duration=jnp.float32(wire.duration),
             imu_t=jnp.asarray(prep.imu_t), imu_dt=jnp.asarray(prep.imu_dt),
             imu_acc=jnp.asarray(prep.imu_acc),
             imu_gyr=jnp.asarray(prep.imu_gyr),

@@ -85,6 +85,9 @@ def main():
 
     vision = VisionModule(cfg)
     pipe = LivoPipeline(cfg, vision=vision)
+    if "--sync" in sys.argv:
+        from sr_livo_tpu.utils.profiling import StageTimers
+        pipe.timers = StageTimers(sync=True)
 
     # feed everything up front (host queues; bench times processing only)
     for (t, a, g) in sim.imu:
@@ -104,10 +107,21 @@ def main():
     print(f"{len(meas_all)} measurements "
           f"({sum(1 for m in meas_all if m.rendering)} rendering)")
 
-    n_warm = 25
-    for m in meas_all[:n_warm]:
+    # Warm up past IMU static init (~3 s of stream) plus enough processed
+    # frames to compile every program (LIO step, color insert, preprocess,
+    # pyramid precompute, vision step) and reach steady map occupancy.
+    n_warm = 0
+    warm_frames = 0
+    for m in meas_all:
         pipe._process_measurement(m)
+        n_warm += 1
+        if pipe.initialized:
+            warm_frames += 1
+            if warm_frames >= 12:
+                break
     jax.block_until_ready(pipe.state.p)
+    print(f"warmed up on {n_warm} measurements "
+          f"({warm_frames} processed frames)")
 
     pipe.timers.total.clear()
     pipe.timers.count.clear()

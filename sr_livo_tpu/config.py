@@ -207,6 +207,11 @@ class LivoConfig:
     # point-to-plane distances/Jacobians need recomputing.  False restores
     # exact reference semantics.
     cache_association: bool = True
+    # Ship sweep point payloads host->device as int16 (dynamic-scale xyz,
+    # ~3 mm quanta at 100 m range; per-point time at ~3 us): host->device
+    # bandwidth, not device compute, bounds a tunneled-TPU pipeline.
+    # False sends float32 tensors (bit-exact ingest).
+    wire_quantization: bool = True
     # Far-voxel eviction (removePointsFarFromLocation is disabled in the
     # reference main loop, lioOptimization.cpp:1032 — off by default here too)
     enable_map_eviction: bool = False

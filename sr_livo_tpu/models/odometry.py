@@ -47,6 +47,35 @@ class SweepInput(NamedTuple):
     threshold_capacity: jnp.ndarray  # () int32 — 1 during init frames
 
 
+class WireSweep(NamedTuple):
+    """int16 wire form of a sweep (runtime.measurements.pack_sweep): the
+    point payload crosses the host->device link quantized (xyz by `scale`
+    meters/quantum, per-point time as a [0, 32000] fraction of `duration`;
+    alpha=-1 marks padding).  Unpacked to a SweepInput on device."""
+    pts_q: jnp.ndarray       # (N, 4) int16
+    scale: jnp.ndarray       # () f32 meters per quantum
+    duration: jnp.ndarray    # () f32 seconds
+    imu_t: jnp.ndarray
+    imu_dt: jnp.ndarray
+    imu_acc: jnp.ndarray
+    imu_gyr: jnp.ndarray
+    imu_valid: jnp.ndarray
+    do_optimize: jnp.ndarray
+    threshold_capacity: jnp.ndarray
+
+
+def unpack_wire(w: WireSweep) -> SweepInput:
+    alpha = w.pts_q[:, 3].astype(jnp.float32)
+    return SweepInput(
+        raw_pts=w.pts_q[:, :3].astype(jnp.float32) * w.scale,
+        t_rel=jnp.maximum(alpha, 0.0) * (w.duration / 32000.0),
+        pt_valid=alpha >= 0,
+        imu_t=w.imu_t, imu_dt=w.imu_dt, imu_acc=w.imu_acc,
+        imu_gyr=w.imu_gyr, imu_valid=w.imu_valid,
+        do_optimize=w.do_optimize,
+        threshold_capacity=w.threshold_capacity)
+
+
 class SweepOutput(NamedTuple):
     state: EskfState
     voxel_map: vm.VoxelMap
@@ -176,6 +205,8 @@ class LioEngine:
                 donate_argnums=(1,))
 
     def _raw_step(self, state, voxel_map, sweep, *, phase):
+        if isinstance(sweep, WireSweep):
+            sweep = unpack_wire(sweep)
         return _sweep_core(state, voxel_map, sweep, self.noise,
                            self.r_il, self.t_il, self.cfg, phase)
 

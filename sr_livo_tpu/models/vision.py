@@ -115,8 +115,10 @@ class VisionModule:
             budget=self.cfg.shapes.max_insert_points)
 
     # -- preprocessing --------------------------------------------------
-    def _preprocess_core(self, img: jnp.ndarray):
-        """Jitted tail: undistort + gray CLAHE + YCrCb equalize."""
+    def _preprocess_core(self, img_u8: jnp.ndarray):
+        """Jitted tail with device undistortion: uint8 (processed size) ->
+        remap + gray CLAHE + YCrCb equalize."""
+        img = img_u8.astype(jnp.float32)
         if self.ud_map is not None:
             img = image_ops.remap(img, self.ud_map)
         gray = image_ops.rgb_to_gray(img)
@@ -138,44 +140,56 @@ class VisionModule:
 
         Host handles dtype/scale/resize (numpy, cheap); the device part is
         one jitted program (eager dispatch through the device tunnel costs
-        milliseconds per op).  When the input is a full-resolution uint8
+        milliseconds per op).  The image ALWAYS crosses the tunnel as uint8:
+        host->device bandwidth, not device compute, is the scarce resource,
+        and the reference consumes 8-bit camera frames anyway
+        (imageProcessing.cpp:120-125).  When the input is a full-resolution
         frame and a distortion model is set, the resize+undistort remap runs
         in native C++ on the host (runtime.native.remap_u8) — the remap
         gather pattern is the slowest op class on TPU and on the host it
-        overlaps device compute — and only the compact uint8 result crosses
-        the tunnel."""
+        overlaps device compute."""
         img_in = np.asarray(image)
-        if (self.host_map is not None and img_in.dtype == np.uint8
-                and img_in.ndim == 3
+        if img_in.ndim == 2:
+            img_in = np.repeat(img_in[..., None], 3, axis=-1)
+        if img_in.dtype != np.uint8:
+            img = img_in.astype(np.float32)
+            if img.max(initial=0.0) <= 1.5:
+                img = img * 255.0
+            img_in = np.clip(np.round(img), 0, 255).astype(np.uint8)
+        if (self.host_map is not None
                 and img_in.shape[:2] == (self.orig_rows, self.orig_cols)):
             from sr_livo_tpu.runtime import native
-            und = native.remap_u8(img_in, self.host_map)
+            und = native.remap_u8(np.ascontiguousarray(img_in), self.host_map)
             if self._pre_u8_jit is None:
                 self._pre_u8_jit = jax.jit(self._preprocess_from_u8)
             return self._pre_u8_jit(jnp.asarray(und))
-        img = np.asarray(image, np.float32)
-        if img.ndim == 2:
-            img = np.repeat(img[..., None], 3, axis=-1)
-        if img.max(initial=0.0) <= 1.5:
-            img = img * 255.0
-        if (img.shape[0], img.shape[1]) != (self.rows, self.cols):
-            ys = np.clip(np.round(np.linspace(0, img.shape[0] - 1, self.rows))
-                         .astype(int), 0, img.shape[0] - 1)
-            xs = np.clip(np.round(np.linspace(0, img.shape[1] - 1, self.cols))
-                         .astype(int), 0, img.shape[1] - 1)
-            img = img[np.ix_(ys, xs)]
+        if img_in.shape[:2] != (self.rows, self.cols):
+            ys = np.clip(np.round(np.linspace(0, img_in.shape[0] - 1,
+                                              self.rows))
+                         .astype(int), 0, img_in.shape[0] - 1)
+            xs = np.clip(np.round(np.linspace(0, img_in.shape[1] - 1,
+                                              self.cols))
+                         .astype(int), 0, img_in.shape[1] - 1)
+            img_in = img_in[np.ix_(ys, xs)]
         if self._pre_jit is None:
             self._pre_jit = jax.jit(self._preprocess_core)
-        return self._pre_jit(jnp.asarray(img))
+        return self._pre_jit(jnp.asarray(img_in))
 
     # -- main per-rendering-frame entry ----------------------------------
     def process_frame(self, pipeline, meas, sweep_out):
         state = sweep_out.state
         q_wi, t_wi = state.q, state.p
         obs_time = meas.time_image
+        timers = pipeline.timers
 
-        rgb, gray = self.preprocess(meas.image)
-        cur_pyr = lk.precompute_frame(gray, self.lk_params.levels)
+        with timers.stage("vis_preprocess"):
+            rgb, gray = self.preprocess(meas.image)
+            if timers.sync:
+                jax.block_until_ready(gray)
+        with timers.stage("vis_pyramid"):
+            cur_pyr = lk.precompute_frame(gray, self.lk_params.levels)
+            if timers.sync:
+                jax.block_until_ready(cur_pyr)
 
         if self.first_data:
             self._init_tracks(q_wi, t_wi, obs_time)
@@ -186,8 +200,9 @@ class VisionModule:
 
         dt = obs_time - self.prev_time
         self._rng, k1, k2 = jax.random.split(self._rng, 3)
-        (self.camera, self.color_map, self.tracks, n_tracked, n_inlier) = \
-            _vision_step(
+        with timers.stage("vis_step"):
+            (self.camera, self.color_map, self.tracks, n_tracked, n_inlier) \
+                = _vision_step(
                 self.camera, self.color_map, self.tracks,
                 self.prev_pyr, cur_pyr, rgb, q_wi, t_wi,
                 jnp.asarray(dt, jnp.float32),
@@ -198,6 +213,8 @@ class VisionModule:
                 track_grid=self.track_grid,
                 max_render_points=self.cfg.shapes.max_render_points,
                 estimate_intrinsic=True, estimate_extrinsic=True)
+            if timers.sync:
+                jax.block_until_ready(self.camera.intr)
         self._stats_pending.append(
             (float(obs_time), jnp.stack([n_tracked, n_inlier])))
         self.prev_pyr = cur_pyr

@@ -20,7 +20,7 @@ import numpy as np
 
 from sr_livo_tpu.config import LivoConfig
 from sr_livo_tpu.models import eskf as eskf_mod
-from sr_livo_tpu.models.odometry import LioEngine, SweepInput
+from sr_livo_tpu.models.odometry import LioEngine, SweepInput, WireSweep
 from sr_livo_tpu.runtime import measurements as meas_mod
 from sr_livo_tpu.runtime import tum
 from sr_livo_tpu.utils.profiling import StageTimers
@@ -108,23 +108,40 @@ class LivoPipeline:
         with self.timers.stage("prepare_sweep"):
             prep = meas_mod.prepare_sweep(meas, self.current_time, self.cfg)
         self.current_time = prep.new_current_time
-        sweep = SweepInput(
-            raw_pts=jnp.asarray(prep.raw_pts),
-            t_rel=jnp.asarray(prep.t_rel),
-            pt_valid=jnp.asarray(prep.pt_valid),
-            imu_t=jnp.asarray(prep.imu_t),
-            imu_dt=jnp.asarray(prep.imu_dt),
-            imu_acc=jnp.asarray(prep.imu_acc),
-            imu_gyr=jnp.asarray(prep.imu_gyr),
-            imu_valid=jnp.asarray(prep.imu_valid),
-            do_optimize=jnp.asarray(self.index_frame > 1),
-            threshold_capacity=jnp.int32(
-                1 if self.index_frame < self.cfg.icp.init_num_frames
-                else self.cfg.icp.threshold_voxel_occupancy))
+        do_opt = jnp.asarray(self.index_frame > 1)
+        thr_cap = jnp.int32(
+            1 if self.index_frame < self.cfg.icp.init_num_frames
+            else self.cfg.icp.threshold_voxel_occupancy)
+        if self.cfg.wire_quantization:
+            wire = meas_mod.pack_sweep(prep, meas.duration)
+            sweep = WireSweep(
+                pts_q=jnp.asarray(wire.pts_q),
+                scale=jnp.float32(wire.scale),
+                duration=jnp.float32(wire.duration),
+                imu_t=jnp.asarray(prep.imu_t),
+                imu_dt=jnp.asarray(prep.imu_dt),
+                imu_acc=jnp.asarray(prep.imu_acc),
+                imu_gyr=jnp.asarray(prep.imu_gyr),
+                imu_valid=jnp.asarray(prep.imu_valid),
+                do_optimize=do_opt, threshold_capacity=thr_cap)
+        else:
+            sweep = SweepInput(
+                raw_pts=jnp.asarray(prep.raw_pts),
+                t_rel=jnp.asarray(prep.t_rel),
+                pt_valid=jnp.asarray(prep.pt_valid),
+                imu_t=jnp.asarray(prep.imu_t),
+                imu_dt=jnp.asarray(prep.imu_dt),
+                imu_acc=jnp.asarray(prep.imu_acc),
+                imu_gyr=jnp.asarray(prep.imu_gyr),
+                imu_valid=jnp.asarray(prep.imu_valid),
+                do_optimize=do_opt, threshold_capacity=thr_cap)
 
         with self.timers.stage("lio_step"):
             out = self.engine.step(self.state, self.voxel_map, sweep,
                                    self.index_frame)
+            if self.timers.sync:
+                import jax
+                jax.block_until_ready(out.state.p)
         self.state = out.state
         self.voxel_map = out.voxel_map
 
@@ -152,6 +169,9 @@ class LivoPipeline:
                 self.vision.insert_sweep_points(
                     out.frame_pts_world,
                     out.frame_valid & out.summary.success, meas.time_image)
+                if self.timers.sync:
+                    import jax
+                    jax.block_until_ready(self.vision.color_map.reg)
             if meas.rendering and meas.image is not None:
                 with self.timers.stage("vision_frame"):
                     self.vision.process_frame(self, meas, out)

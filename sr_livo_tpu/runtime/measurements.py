@@ -257,3 +257,32 @@ def prepare_sweep(meas: Measurement, current_time: float,
                          imu_t=imu_t, imu_dt=imu_dt, imu_acc=imu_acc,
                          imu_gyr=imu_gyr, imu_valid=imu_valid,
                          new_current_time=new_time, n_points=n, n_imu=n_imu)
+
+
+# Wire quantization: host->device bandwidth is the scarce resource on a
+# tunneled TPU, so the point payload crosses the link as int16.  xyz are
+# scaled by a per-sweep dynamic scale (range/32000 — ~3 mm at 100 m, an
+# order of magnitude below LiDAR ranging noise); per-point time becomes a
+# [0, 32000] fraction of the sweep duration (~3 us resolution).  alpha=-1
+# marks padding, so the separate validity mask disappears from the wire.
+WIRE_QMAX = 32000.0
+
+
+@dataclass
+class PackedSweepWire:
+    """int16 wire payload for one sweep (see odometry.WireSweep)."""
+    pts_q: np.ndarray      # (N, 4) int16: x, y, z (x scale), alpha; -1 pad
+    scale: float           # meters per quantum
+    duration: float        # seconds (alpha -> t_rel factor)
+
+
+def pack_sweep(prep: PreparedSweep, duration: float) -> PackedSweepWire:
+    n = prep.n_points
+    duration = max(float(duration), 1e-6)
+    max_abs = float(np.max(np.abs(prep.raw_pts[:n]))) if n else 1.0
+    scale = max(max_abs, 1e-6) / WIRE_QMAX
+    pts_q = np.full((prep.raw_pts.shape[0], 4), -1, np.int16)
+    pts_q[:n, :3] = np.round(prep.raw_pts[:n] / scale)
+    pts_q[:n, 3] = np.clip(
+        np.round(prep.t_rel[:n] / duration * WIRE_QMAX), 0, WIRE_QMAX)
+    return PackedSweepWire(pts_q=pts_q, scale=scale, duration=duration)
