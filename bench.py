@@ -1,34 +1,36 @@
-"""Benchmark: reconstructed sweeps+images per second per chip.
+"""Benchmark: FULL LIVO pipeline throughput — sweeps+images per second
+per chip, through the complete per-frame path (LIO step + colored-map
+insertion + image preprocessing + LK/RANSAC/ESIKF vision frame + map
+rendering) at reference-like shapes (r3live profile: 10 Hz image-aligned
+sweeps, 512x640 processed images, 600-residual ICP, <=300 tracks,
+rendering on every sweep).
 
-Runs the flagship per-sweep LIO step at reference-like shapes (r3live
-profile: 10 Hz sweeps, 600-residual ICP budget) in a steady-state loop on
-the available accelerator and prints ONE JSON line:
+Prints a per-stage breakdown and ONE final JSON line:
 
-    {"metric": "sweeps_per_s", "value": N, "unit": "sweeps/s",
+    {"metric": "sweeps_images_per_s", "value": N, "unit": "sweeps+images/s",
      "vs_baseline": N / 30}
 
 Baseline: the reference sustains 30-34 ms per sweep+image on an i7-11700
-(/root/reference/README.md:21) => ~30 sweeps/s.  vs_baseline > 1 beats it.
+(/root/reference/README.md:21) => ~30 sweeps+images/s.  vs_baseline > 1
+beats it.  Unlike round 1's bench (LIO-only), this measures the same
+workload the baseline quotes.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+CAM = (420.0, 420.0, 320.0, 256.0)
+SIZE = (512, 640)   # rows, cols
 
-def main():
-    from sr_livo_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    import jax
-    import jax.numpy as jnp
+
+def make_cfg():
     from sr_livo_tpu.config import LivoConfig
-    from sr_livo_tpu.models.odometry import LioEngine, WireSweep
-    from sr_livo_tpu.runtime import synthetic
-    from sr_livo_tpu.runtime import measurements as meas_mod
-
     cfg = LivoConfig()
     # Reference-scale budgets (config/r3live.yaml): 1.0 m map voxels,
     # 1.5 m keypoint sampling, <=600 residuals, 5 ICP iterations.
@@ -44,65 +46,123 @@ def main():
     cfg.shapes.max_keypoints = 1024
     cfg.shapes.max_imu_samples = 64
     cfg.shapes.map_capacity = 1 << 18
+    cfg.camera_options.image_width = SIZE[1]
+    cfg.camera_options.image_height = SIZE[0]
+    cfg.camera_options.image_scale = 1.0
+    cfg.camera_options.camera_intrinsic = [
+        CAM[0], 0, CAM[2], 0, CAM[1], CAM[3], 0, 0, 1]
+    cfg.camera_options.camera_dist_coeffs = [0, 0, 0, 0, 0]
+    cfg.extrinsics.extrinsic_R_imu_camera = [0, 0, 1, -1, 0, 0, 0, -1, 0]
+    cfg.extrinsics.extrinsic_t_imu_camera = [0.0, 0.0, 0.0]
+    return cfg
 
-    # Build a realistic stream: textured room, dense spinning LiDAR.
-    sim = synthetic.simulate(duration=8.0, n_azimuth=256, n_rings=32,
-                             imu_rate=200.0, seed=3)
-    cutter = meas_mod.SweepCutter(cfg.sweep_interval)
+
+def load_sim():
+    """Synthetic 10 s LIVO stream (cached; images stored uint8 like a real
+    camera feed)."""
+    from sr_livo_tpu.runtime import synthetic
+    from sr_livo_tpu.runtime.synthetic import SimStream
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_livo_sim_v2.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return SimStream(
+            imu=[(float(r[0]), r[1:4], r[4:7]) for r in z["imu"]],
+            lidar_chunks=[z[f"pts{i}"] for i in range(int(z["n_chunks"]))],
+            images=[(float(t), img) for t, img in
+                    zip(z["img_t"], z["imgs"])],
+            gt_times=z["gt_times"], gt_pos=z["gt_pos"], gt_quat=z["gt_quat"])
+    sim = synthetic.simulate(duration=10.0, n_azimuth=256, n_rings=32,
+                             imu_rate=200.0, seed=3, image_size=SIZE,
+                             camera=CAM)
+    sim.images = [
+        (t, np.clip(np.round(im * 255.0), 0, 255).astype(np.uint8))
+        for (t, im) in sim.images]
+    save = {"imu": np.array([[t, *a, *g] for (t, a, g) in sim.imu]),
+            "n_chunks": len(sim.lidar_chunks),
+            "img_t": np.array([t for (t, _) in sim.images]),
+            "imgs": np.stack([im for (_, im) in sim.images]),
+            "gt_times": sim.gt_times, "gt_pos": sim.gt_pos,
+            "gt_quat": sim.gt_quat}
+    for i, c in enumerate(sim.lidar_chunks):
+        save[f"pts{i}"] = c
+    np.savez(cache, **save)
+    return sim
+
+
+def main():
+    from sr_livo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    from sr_livo_tpu.models.vision import VisionModule
+    from sr_livo_tpu.pipeline import LivoPipeline
+
+    cfg = make_cfg()
+    t0 = time.perf_counter()
+    sim = load_sim()
+    print(f"sim ready in {time.perf_counter() - t0:.1f}s "
+          f"({len(sim.images)} images)", file=sys.stderr)
+
+    vision = VisionModule(cfg)
+    pipe = LivoPipeline(cfg, vision=vision)
+    if "--sync" in sys.argv:
+        from sr_livo_tpu.utils.profiling import StageTimers
+        pipe.timers = StageTimers(sync=True)
+
     for (t, a, g) in sim.imu:
-        cutter.push_imu(t, a, g)
+        pipe.push_imu(t, a, g)
     for c in sim.lidar_chunks:
-        cutter.push_points(c)
+        pipe.push_points(c)
     for (t, img) in sim.images:
-        cutter.push_image(t, img)
+        pipe.push_image(t, img)
 
-    engine = LioEngine(cfg)
-    state, vmap_ = engine.init_state(), engine.make_map()
-
-    sweeps = []
-    current = None
+    meas_all = []
     while True:
-        m = cutter.get()
+        m = pipe.cutter.get()
         if m is None:
             break
-        if current is None:
-            current = m.time_sweep_begin
-        prep = meas_mod.prepare_sweep(m, current, cfg)
-        current = prep.new_current_time
-        wire = meas_mod.pack_sweep(prep, m.duration)
-        sweeps.append(WireSweep(
-            pts_q=jnp.asarray(wire.pts_q),
-            scale=jnp.float32(wire.scale),
-            duration=jnp.float32(wire.duration),
-            imu_t=jnp.asarray(prep.imu_t), imu_dt=jnp.asarray(prep.imu_dt),
-            imu_acc=jnp.asarray(prep.imu_acc),
-            imu_gyr=jnp.asarray(prep.imu_gyr),
-            imu_valid=jnp.asarray(prep.imu_valid),
-            do_optimize=jnp.asarray(True),
-            threshold_capacity=jnp.int32(1)))
+        meas_all.append(m)
 
-    # Warm up: compile both phases + populate the map.
-    for fid, sw in enumerate(sweeps[:24], start=1):
-        out = engine.step(state, vmap_, sw, fid)
-        state, vmap_ = out.state, out.voxel_map
-    jax.block_until_ready(state.p)
+    # Warm past IMU static init + enough frames to compile every program
+    # (LIO step, color insert, preprocess, pyramid, vision step) and reach
+    # steady map occupancy; vision compiles on the 2nd rendered frame.
+    n_warm = 0
+    warm_frames = 0
+    warm_rendered = 0
+    for m in meas_all:
+        pipe._process_measurement(m)
+        n_warm += 1
+        if pipe.initialized:
+            warm_frames += 1
+            if m.rendering and m.image is not None:
+                warm_rendered += 1
+            if warm_frames >= 12 and warm_rendered >= 3:
+                break
+    jax.block_until_ready(pipe.state.p)
+    assert pipe.initialized, "IMU static init never completed in warm-up"
+    assert warm_rendered >= 3, "no rendering frames during warm-up"
+    timed = meas_all[n_warm:]
+    assert timed, "warm-up consumed the whole stream; lengthen the sim"
 
-    # Steady-state timing over the remaining sweeps, cycled.
-    n_timed = 60
+    pipe.timers.total.clear()
+    pipe.timers.count.clear()
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        sw = sweeps[24 + (i % max(1, len(sweeps) - 24))]
-        out = engine.step(state, vmap_, sw, 100 + i)
-        state, vmap_ = out.state, out.voxel_map
-    jax.block_until_ready(state.p)
+    for m in timed:
+        pipe._process_measurement(m)
+    jax.block_until_ready(pipe.state.p)
     dt = time.perf_counter() - t0
 
-    sweeps_per_s = n_timed / dt
+    n_rendered = sum(1 for m in timed if m.rendering and m.image is not None)
+    print(f"{len(timed)} sweeps ({n_rendered} with images) in {dt:.2f}s "
+          f"= {dt / len(timed) * 1e3:.1f} ms/frame", file=sys.stderr)
+    print("stage breakdown:\n" + pipe.timers.summary(), file=sys.stderr)
+
+    rate = len(timed) / dt
     print(json.dumps({
-        "metric": "sweeps_per_s",
-        "value": round(sweeps_per_s, 2),
-        "unit": "sweeps/s",
-        "vs_baseline": round(sweeps_per_s / 30.0, 3),
+        "metric": "sweeps_images_per_s",
+        "value": round(rate, 2),
+        "unit": "sweeps+images/s",
+        "vs_baseline": round(rate / 30.0, 3),
     }))
 
 

@@ -48,6 +48,9 @@ class IcpOptions:
     threshold_translation_norm: float = 0.001   # meters
     point_to_plane_with_distortion: bool = True
     max_num_residuals: int = -1
+    # Reference-parity, intentionally unused: read from YAML but never
+    # consulted by the reference optimizer either (parameters.h:42 only
+    # documents it; no read in optimize.cpp).
     min_num_residuals: int = 100
     num_closest_neighbors: int = 1
     weight_alpha: float = 0.9
@@ -69,7 +72,11 @@ class OdometryOptions:
     min_distance_points: float = 0.1
     distance_error_threshold: float = 5.0
     motion_compensation: int = MOTION_COMP_CONSTANT_VELOCITY
-    initialization: int = INIT_CONSTANT_VELOCITY
+    # IEKF pose-seed predictor (stateInitialization, lioOptimization.cpp:
+    # 895-990).  Reference default INIT_IMU (lioOptimization.cpp:319); all
+    # three reference profiles use it.  INIT_CONSTANT_VELOCITY seeds the
+    # iterate from a pose extrapolation of the last two solved frames.
+    initialization: int = INIT_IMU
     optimize_options: IcpOptions = field(default_factory=IcpOptions)
 
 
@@ -101,6 +108,8 @@ class LidarOptions:
     scan_rate: int = 10          # Hz — nominal sweep rate
     time_unit: int = 3           # 0 s, 1 ms, 2 us, 3 ns
     blind: float = 0.1           # blind radius [m]
+    # Reference-parity, intentionally unused: the reference reads both into
+    # member floats (lioOptimization.cpp:279-280) that nothing consumes.
     fov_degree: float = 180.0
     det_range: float = 100.0
     point_filter_num: int = 4    # point decimation

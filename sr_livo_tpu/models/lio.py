@@ -217,6 +217,8 @@ def iekf_update(
     check_convergence: bool = True,
     use_pallas: bool = False,
     cache_association: bool = False,
+    seed_q: jnp.ndarray = None,
+    seed_p: jnp.ndarray = None,
 ) -> Tuple[EskfState, IekfSummary]:
     """Iterated EKF measurement update (updateIEKF, optimize.cpp:133-314).
 
@@ -229,8 +231,16 @@ def iekf_update(
     With `cache_association=True` the kNN search and plane PCA run ONCE at
     the predicted pose; iterations recompute only the pose-dependent
     distances/Jacobians (see LivoConfig.cache_association).
+
+    `seed_q`/`seed_p` optionally override the STARTING iterate pose while
+    `state` stays the prediction prior — the INIT_CONSTANT_VELOCITY
+    predictor of stateInitialization (lioOptimization.cpp:895-990) seeds
+    updateIEKF from an extrapolated pose, but the error/gain are still
+    measured against the ESKF prediction.
     """
     pred = state  # sweep-start prediction (p_predict etc., optimize.cpp:138)
+    if seed_q is not None:
+        state = state._replace(q=seed_q, p=seed_p)
 
     lam_sum = abs(weight_alpha) + abs(weight_neighborhood)
     lam_w = abs(weight_alpha) / lam_sum

@@ -65,10 +65,11 @@ class WireSweep(NamedTuple):
 
 
 def unpack_wire(w: WireSweep) -> SweepInput:
+    from sr_livo_tpu.runtime.measurements import WIRE_QMAX
     alpha = w.pts_q[:, 3].astype(jnp.float32)
     return SweepInput(
         raw_pts=w.pts_q[:, :3].astype(jnp.float32) * w.scale,
-        t_rel=jnp.maximum(alpha, 0.0) * (w.duration / 32000.0),
+        t_rel=jnp.maximum(alpha, 0.0) * (w.duration / WIRE_QMAX),
         pt_valid=alpha >= 0,
         imu_t=w.imu_t, imu_dt=w.imu_dt, imu_acc=w.imu_acc,
         imu_gyr=w.imu_gyr, imu_valid=w.imu_valid,
@@ -91,8 +92,15 @@ def _sweep_core(state: EskfState,
                 noise: jnp.ndarray,
                 r_il: jnp.ndarray, t_il: jnp.ndarray,
                 cfg: LivoConfig,
-                phase: str) -> SweepOutput:
-    """phase: 'init' (frame_id < init_num_frames) or 'steady'."""
+                phase: str,
+                prev_poses=None) -> SweepOutput:
+    """phase: 'init' (frame_id < init_num_frames) or 'steady'.
+
+    `prev_poses` = ((q1, p1), (q0, p0)) of the last two solved frames —
+    only passed when initialization == INIT_CONSTANT_VELOCITY, where the
+    IEKF iterate is seeded with the constant-velocity pose extrapolation
+    of stateInitialization (lioOptimization.cpp:949-960):
+      q_next = q1 q0^-1 q1,  t_next = t1 + q1 q0^-1 (t1 - t0)."""
     icp = cfg.icp
     odo = cfg.odometry_options
     sh = cfg.shapes
@@ -146,9 +154,20 @@ def _sweep_core(state: EskfState,
         frame_raw, frame_valid, sample_voxel, sh.max_keypoints)
 
     # 5. Iterated ESIKF measurement update.
+    if prev_poses is not None:
+        # With q0==q1, p0==p1 (pipeline seeds history with duplicates) this
+        # degenerates to "keep the previous pose" — the reference's
+        # behavior for the first frames.
+        (q1, p1), (q0, p0) = prev_poses
+        q_rel = lie.quat_mul(q1, lie.quat_conj(q0))
+        seed_q = lie.quat_normalize(lie.quat_mul(q_rel, q1))
+        seed_p = p1 + lie.quat_rotate(q_rel, p1 - p0)
+    else:
+        seed_q = seed_p = None
     state_upd, summary = lio.iekf_update(
         state_pred, voxel_map, key_raw, key_valid, last_trans, r_il, t_il,
         sweep.threshold_capacity,
+        seed_q=seed_q, seed_p=seed_p,
         size_voxel_map=icp.size_voxel_map,
         nb_voxels_visited=nb_voxels,
         max_number_neighbors=icp.max_number_neighbors,
@@ -203,12 +222,18 @@ class LioEngine:
             self._steps[phase] = jax.jit(
                 functools.partial(self._raw_step, phase=phase),
                 donate_argnums=(1,))
+        # INIT_CONSTANT_VELOCITY predictor needs the last two solved poses
+        # (stateInitialization, lioOptimization.cpp:895-990)
+        from sr_livo_tpu.config import INIT_CONSTANT_VELOCITY
+        self.use_cv_init = (cfg.odometry_options.initialization
+                            == INIT_CONSTANT_VELOCITY)
 
-    def _raw_step(self, state, voxel_map, sweep, *, phase):
+    def _raw_step(self, state, voxel_map, sweep, prev_poses=None, *, phase):
         if isinstance(sweep, WireSweep):
             sweep = unpack_wire(sweep)
         return _sweep_core(state, voxel_map, sweep, self.noise,
-                           self.r_il, self.t_il, self.cfg, phase)
+                           self.r_il, self.t_il, self.cfg, phase,
+                           prev_poses=prev_poses)
 
     def init_state(self) -> EskfState:
         return eskf_mod.init_state(self.cfg.gravity_acc, self.dtype)
@@ -218,7 +243,12 @@ class LioEngine:
         return vm.make_map(sh.map_capacity, sh.map_voxel_points, self.dtype)
 
     def step(self, state: EskfState, voxel_map: vm.VoxelMap,
-             sweep: SweepInput, frame_id: int) -> SweepOutput:
+             sweep: SweepInput, frame_id: int,
+             prev_poses=None) -> SweepOutput:
         phase = ("init" if frame_id < self.cfg.odometry_options.init_num_frames
                  else "steady")
-        return self._steps[phase](state, voxel_map, sweep)
+        if not self.use_cv_init:
+            prev_poses = None
+        elif prev_poses is None:
+            prev_poses = ((state.q, state.p), (state.q, state.p))
+        return self._steps[phase](state, voxel_map, sweep, prev_poses)

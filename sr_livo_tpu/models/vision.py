@@ -153,8 +153,18 @@ class VisionModule:
             img_in = np.repeat(img_in[..., None], 3, axis=-1)
         if img_in.dtype != np.uint8:
             img = img_in.astype(np.float32)
-            if img.max(initial=0.0) <= 1.5:
+            mx = img.max(initial=0.0)
+            if mx <= 1.5:
                 img = img * 255.0
+            elif mx > 255.0:
+                # >8-bit sources (e.g. 16-bit cameras): normalize by the
+                # dtype max (integer inputs) or the observed max (float)
+                # instead of saturating everything at 255.
+                if np.issubdtype(img_in.dtype, np.integer):
+                    full = float(np.iinfo(img_in.dtype).max)
+                else:
+                    full = mx
+                img = img * (255.0 / full)
             img_in = np.clip(np.round(img), 0, 255).astype(np.uint8)
         if (self.host_map is not None
                 and img_in.shape[:2] == (self.orig_rows, self.orig_cols)):

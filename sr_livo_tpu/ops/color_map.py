@@ -58,7 +58,7 @@ class ColorMap(NamedTuple):
     # dedup grid: signature-only open-addressing set at min_distance
     # resolution (a 2^-31 signature collision wrongly drops one point —
     # immaterial for a visualization map)
-    dedup_sig: jnp.ndarray       # (D,) uint32
+    dedup_sig: jnp.ndarray       # (D,) int32; SIG_EMPTY (-1) = free
     # compacted list of voxel slots touched by the latest insert (-1 pad);
     # replaces a top_k scan over the whole table in the render/select paths
     recent_slots: jnp.ndarray    # (V,) int32
@@ -108,7 +108,7 @@ def make_color_map(registry: int, capacity: int, voxel_points: int,
         count=jnp.int32(0),
         vox=vm.make_map(capacity, voxel_points, dtype),
         vox_last_visit=jnp.full((capacity,), -1.0, dtype),
-        dedup_sig=jnp.full((capacity * 2,), vm.SIG_EMPTY, jnp.uint32),
+        dedup_sig=jnp.full((capacity * 2,), vm.SIG_EMPTY, jnp.int32),
         recent_slots=jnp.full((recent,), -1, jnp.int32),
     )
 

@@ -11,6 +11,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sr_livo_tpu.models.eskf import ImuStates
 from sr_livo_tpu.utils import lie
@@ -93,14 +94,20 @@ def transform_to_world(raw_pts: jnp.ndarray, q: jnp.ndarray, t: jnp.ndarray,
                            pts_imu) + t
 
 
-_SP1 = jnp.uint32(73856093)
-_SP2 = jnp.uint32(19349669)
-_SP3 = jnp.uint32(83492791)
+# int32 wraparound hash with HOST-scalar constants (an integer multiply by
+# a closed-over device scalar is pathological on this TPU backend — see
+# ops.voxel_map._P1 note); masked to 31 bits so the invalid sentinel
+# (INT32_MAX) sorts after every real key.
+_SP1 = np.int32(73856093)
+_SP2 = np.int32(19349669)
+_SP3 = np.int32(83492791)
+_KEY_INVALID = np.int32(0x7FFFFFFF)
 
 
 def _voxel_key(pts: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
-    c = jnp.trunc(pts / voxel_size).astype(jnp.int32).astype(jnp.uint32)
-    return c[..., 0] * _SP1 + c[..., 1] * _SP2 + c[..., 2] * _SP3
+    c = jnp.trunc(pts / voxel_size).astype(jnp.int32)
+    h = c[..., 0] * _SP1 + c[..., 1] * _SP2 + c[..., 2] * _SP3
+    return h & np.int32(0x7FFFFFFE)
 
 
 def voxel_subsample(key_pts: jnp.ndarray, valid: jnp.ndarray,
@@ -119,12 +126,12 @@ def voxel_subsample(key_pts: jnp.ndarray, valid: jnp.ndarray,
     Returns (points (max_out, 3), valid (max_out,), gathered payload).
     """
     n = key_pts.shape[0]
-    h = jnp.where(valid, _voxel_key(key_pts, voxel_size), jnp.uint32(0xFFFFFFFF))
+    h = jnp.where(valid, _voxel_key(key_pts, voxel_size), _KEY_INVALID)
     order = jnp.argsort(h)
     h_sorted = h[order]
     first = jnp.concatenate(
         [jnp.ones((1,), bool), h_sorted[1:] != h_sorted[:-1]])
-    keep_sorted = first & (h_sorted != jnp.uint32(0xFFFFFFFF))
+    keep_sorted = first & (h_sorted != _KEY_INVALID)
     # Compact: selected indices first (stable), then truncate to max_out.
     sel_order = jnp.argsort(~keep_sorted, stable=True)
     src = order[sel_order]

@@ -16,7 +16,9 @@ array program:
 Voxel coordinates use C++ truncation-toward-zero semantics
 (`static_cast<short>(x / voxel_size)`, cloudMap.h:136-139) for parity with
 the reference's voxel partitioning.  The spatial hash mirrors the 3-prime
-hash (cloudMap.h:173-183) in uint32 arithmetic.
+hash (cloudMap.h:173-183) in int32 wraparound arithmetic (bit-identical
+to uint32 modular arithmetic; uint32 multiply is pathological on this
+TPU backend — see the note above _P1).
 """
 
 from __future__ import annotations
@@ -26,28 +28,39 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Sentinel marking an empty hash slot (coordinates from real points are
 # bounded by det_range/voxel_size << 2^30).
-EMPTY = jnp.int32(0x7FFFFFFF)
+EMPTY = np.int32(0x7FFFFFFF)
 
-_P1 = jnp.uint32(73856093)
-_P2 = jnp.uint32(19349669)
-_P3 = jnp.uint32(83492791)
+# All hash arithmetic runs in int32 two's-complement (bit-identical to the
+# uint32 modular arithmetic of the reference hash, cloudMap.h:173-183),
+# and every constant is a HOST scalar (np.int32), never a module-level
+# jnp scalar: on this TPU backend, an integer multiply whose constant is a
+# closed-over concrete DEVICE scalar takes minutes to compile AND
+# permanently degrades every subsequent program execution on the device
+# (~30x dispatch floor, measured); the same multiply with a literal
+# constant is instant.  Signature primes >= 2^31 are written as their
+# wrapped int32 bit patterns.
+_P1 = np.int32(73856093)
+_P2 = np.int32(19349669)
+_P3 = np.int32(83492791)
 
-# Independent primes for the 31-bit slot signature.
-_S1 = jnp.uint32(2654435761)
-_S2 = jnp.uint32(2246822519)
-_S3 = jnp.uint32(3266489917)
-SIG_EMPTY = jnp.uint32(0xFFFFFFFF)
+# Independent primes for the 31-bit slot signature (int32 bit patterns of
+# 2654435761, 2246822519, 3266489917).
+_S1 = np.int32(-1640531535)
+_S2 = np.int32(-2048144777)
+_S3 = np.int32(-1028477379)
+SIG_EMPTY = np.int32(-1)
 
 
 def voxel_sig(coords: jnp.ndarray) -> jnp.ndarray:
-    """31-bit voxel signature (never equals SIG_EMPTY)."""
-    c = coords.astype(jnp.uint32)
+    """31-bit non-negative voxel signature (never equals SIG_EMPTY)."""
+    c = coords
     h = c[..., 0] * _S1 + c[..., 1] * _S2 + c[..., 2] * _S3
-    h = h ^ (h >> 15)
-    return h & jnp.uint32(0x7FFFFFFF)
+    h = h ^ jax.lax.shift_right_logical(h, 15)
+    return h & np.int32(0x7FFFFFFF)
 
 
 class VoxelMap(NamedTuple):
@@ -60,7 +73,7 @@ class VoxelMap(NamedTuple):
     ~3x that of a 3-int32 row gather.
     """
     keys: jnp.ndarray      # (C, 3) int32 voxel coords; keys[:,0]==EMPTY => free
-    sig: jnp.ndarray       # (C,) uint32 signature; SIG_EMPTY => free slot
+    sig: jnp.ndarray       # (C,) int32 signature; SIG_EMPTY (-1) => free slot
     points: jnp.ndarray    # (C*K, 3) f32 positions; block c at rows [c*K, c*K+K)
     counts: jnp.ndarray    # (C,) int32 number of valid points in the block
     point_ids: jnp.ndarray  # (C*K,) int32 external payload id (-1 = none)
@@ -100,7 +113,7 @@ def make_map(capacity: int, voxel_points: int, dtype=jnp.float32) -> VoxelMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return VoxelMap(
         keys=jnp.full((capacity, 3), EMPTY, jnp.int32),
-        sig=jnp.full((capacity,), SIG_EMPTY, jnp.uint32),
+        sig=jnp.full((capacity,), SIG_EMPTY, jnp.int32),
         points=jnp.zeros((capacity * voxel_points, 3), dtype),
         counts=jnp.zeros((capacity,), jnp.int32),
         point_ids=jnp.full((capacity * voxel_points,), -1, jnp.int32),
@@ -113,10 +126,13 @@ def voxel_coords(pts: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
 
 
 def voxel_hash(coords: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """3-prime spatial hash (cloudMap.h:173-183) masked to the table size."""
-    c = coords.astype(jnp.uint32)
+    """3-prime spatial hash (cloudMap.h:173-183) masked to the table size.
+
+    int32 wraparound arithmetic — bit-identical low bits to the reference's
+    uint32 modular hash (see the dtype note above _P1)."""
+    c = coords
     h = c[..., 0] * _P1 + c[..., 1] * _P2 + c[..., 2] * _P3
-    return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
+    return h & np.int32(capacity - 1)
 
 
 def _keys_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

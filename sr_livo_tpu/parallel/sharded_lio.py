@@ -16,6 +16,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -34,13 +35,18 @@ from sr_livo_tpu.utils import lie
 def shard_of(coords: jnp.ndarray, n_shards: int) -> jnp.ndarray:
     """Owning shard of a voxel: high bits of the spatial hash (the low bits
     index within the shard's table)."""
-    c = coords.astype(jnp.uint32)
-    h = (c[..., 0] * jnp.uint32(73856093) + c[..., 1] * jnp.uint32(19349669)
-         + c[..., 2] * jnp.uint32(83492791))
+    # int32 wraparound arithmetic with host-scalar constants, bit-identical
+    # to the uint32 modular hash (an integer multiply by a closed-over
+    # device scalar is pathological on this TPU backend — see
+    # ops.voxel_map._P1 note).
+    c = coords
+    h = (c[..., 0] * np.int32(73856093) + c[..., 1] * np.int32(19349669)
+         + c[..., 2] * np.int32(83492791))
     # use an independent bit mix for the shard id so shard routing is not
     # correlated with the in-shard slot index
-    h2 = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
-    return ((h2 >> 8) % jnp.uint32(n_shards)).astype(jnp.int32)
+    h2 = (h ^ jax.lax.shift_right_logical(h, 16)) * np.int32(0x45D9F3B)
+    # logical >>8 of the 32-bit pattern is non-negative (< 2^24)
+    return jax.lax.shift_right_logical(h2, 8) % n_shards
 
 
 def _sharded_knn(local_map: vm.VoxelMap, queries: jnp.ndarray, *,
@@ -104,9 +110,17 @@ def _blocks_from_assoc(assoc, q, t, last_trans, *, icp, n_shards):
         max_dist=icp.max_dist_to_plane_icp,
         min_neighbors=icp.min_number_neighbors)
     if icp.max_num_residuals > 0:
-        # per-shard proportional cap (global prefix order would serialize)
+        # GLOBAL keypoint-order prefix cap (optimize.cpp:107): shard slices
+        # are contiguous in keypoint order, so the global prefix rank of a
+        # row is (sum of good counts on lower-ranked shards) + local
+        # prefix; one scalar all_gather recovers the offsets.  Bit-matches
+        # the single-chip cap for any shard count.
         prefix = jnp.cumsum(good.astype(jnp.int32))
-        good = good & (prefix <= icp.max_num_residuals // n_shards)
+        totals = jax.lax.all_gather(prefix[-1], MAP_AXIS)       # (n,)
+        me = jax.lax.axis_index(MAP_AXIS)
+        offset = jnp.sum(jnp.where(
+            jnp.arange(n_shards, dtype=jnp.int32) < me, totals, 0))
+        good = good & (offset + prefix <= icp.max_num_residuals)
         h_x = jnp.where(good[:, None], h_x, 0.0)
         h = jnp.where(good, h, 0.0)
     hth = jax.lax.psum(h_x.T @ h_x, MAP_AXIS)
@@ -271,8 +285,20 @@ class ShardedLioEngine:
             q=_prepend(pre.q, scan_states.q),
             v=_prepend(pre.v, scan_states.v),
             valid=_prepend(jnp.asarray(True), scan_states.valid))
-        imu_pts = frame_ops.undistort_constant(
-            sweep.raw_pts, sweep.t_rel, imu_states, self.r_il, self.t_il)
+        # Motion compensation honors the configured profile exactly like
+        # the single-chip engine (odometry._sweep_core).
+        from sr_livo_tpu.config import (MOTION_COMP_CONSTANT_VELOCITY,
+                                        MOTION_COMP_IMU)
+        if odo.motion_compensation == MOTION_COMP_IMU:
+            imu_pts = frame_ops.undistort_imu(
+                sweep.raw_pts, sweep.t_rel, imu_states, self.r_il, self.t_il)
+        elif odo.motion_compensation == MOTION_COMP_CONSTANT_VELOCITY:
+            imu_pts = frame_ops.undistort_constant(
+                sweep.raw_pts, sweep.t_rel, imu_states, self.r_il, self.t_il)
+        else:
+            imu_pts = lie.quat_rotate(
+                jnp.broadcast_to(state_pred.q, (sweep.raw_pts.shape[0], 4)),
+                sweep.raw_pts @ self.r_il.T + self.t_il) + state_pred.p
         raw_deskew = frame_ops.to_end_frame(imu_pts, imu_states,
                                             self.r_il, self.t_il)
         frame_raw, frame_valid, _ = frame_ops.voxel_subsample(

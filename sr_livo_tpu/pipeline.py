@@ -45,7 +45,9 @@ class LivoPipeline:
         self.cfg = cfg
         self.backend = backend  # optional parallel.backend.MappingBackend
         self.engine = LioEngine(cfg)
-        self.cutter = meas_mod.SweepCutter(cfg.sweep_interval)
+        self.cutter = meas_mod.SweepCutter(
+            cfg.sweep_interval,
+            time_diff_enable=cfg.imu_options.time_diff_enable)
         self.initializer = eskf_mod.ImuInitializer(
             float(np.linalg.norm(cfg.gravity_acc)))
         self.state = self.engine.init_state()
@@ -61,6 +63,10 @@ class LivoPipeline:
         self._records: List[FrameRecord] = []
         self._pending_records: list = []     # (time, rendering, (19,) dev)
         self._last_imu_sample = None
+        # last two solved poses for the INIT_CONSTANT_VELOCITY seed
+        # (stateInitialization, lioOptimization.cpp:895-990); device arrays,
+        # never synced to host
+        self._pose_hist: list = []
         self.timers = StageTimers(sync=False)
 
     # ---- ingest -----------------------------------------------------------
@@ -136,14 +142,22 @@ class LivoPipeline:
                 imu_valid=jnp.asarray(prep.imu_valid),
                 do_optimize=do_opt, threshold_capacity=thr_cap)
 
+        prev_poses = None
+        if self.engine.use_cv_init and self._pose_hist:
+            prev_poses = (self._pose_hist[-1],
+                          self._pose_hist[-2] if len(self._pose_hist) > 1
+                          else self._pose_hist[-1])
         with self.timers.stage("lio_step"):
             out = self.engine.step(self.state, self.voxel_map, sweep,
-                                   self.index_frame)
+                                   self.index_frame, prev_poses=prev_poses)
             if self.timers.sync:
                 import jax
                 jax.block_until_ready(out.state.p)
         self.state = out.state
         self.voxel_map = out.voxel_map
+        if self.engine.use_cv_init:
+            self._pose_hist = (self._pose_hist + [(out.state.q,
+                                                   out.state.p)])[-2:]
 
         if self.cfg.debug_output:
             # per-frame de-skewed world-frame cloud dump

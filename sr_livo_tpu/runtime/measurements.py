@@ -80,7 +80,8 @@ class _PointBuffer:
 class SweepCutter:
     """Image-timestamp-aligned sweep reconstruction (getMeasurements port)."""
 
-    def __init__(self, sweep_interval: float):
+    def __init__(self, sweep_interval: float,
+                 time_diff_enable: bool = False, time_diff: float = 0.0):
         self.sweep_interval = float(sweep_interval)
         self.points = _PointBuffer()
         self.imu: deque = deque()      # (t, acc, gyr)
@@ -89,6 +90,14 @@ class SweepCutter:
         self.last_time_imu = -1.0
         self.last_time_lidar = -1.0
         self.last_time_img = -1.0
+        # IMU re-stamping when the IMU clock diverges from the LiDAR clock
+        # (imuHandler, lioOptimization.cpp:609-611): IMU stamps are shifted
+        # by `time_diff` when enabled and |time_diff| > 0.1 s.  NOTE: the
+        # reference never assigns its global `time_diff` (it stays 0.0,
+        # utility.cpp:7), so the branch is latent there too; here the
+        # offset is a real input for drivers that measure it.
+        self.time_diff_enable = bool(time_diff_enable)
+        self.time_diff = float(time_diff)
 
     # -- ingest (the ROS handler equivalents, with monotonicity asserts) ----
     def push_points(self, pts: np.ndarray):
@@ -99,6 +108,8 @@ class SweepCutter:
         self.points.push(pts)
 
     def push_imu(self, t: float, acc: np.ndarray, gyr: np.ndarray):
+        if self.time_diff_enable and abs(self.time_diff) > 0.1:
+            t = t + self.time_diff
         assert t > self.last_time_imu, "non-monotonic IMU time"
         self.imu.append((float(t), np.asarray(acc, np.float64),
                          np.asarray(gyr, np.float64)))
@@ -279,10 +290,20 @@ class PackedSweepWire:
 def pack_sweep(prep: PreparedSweep, duration: float) -> PackedSweepWire:
     n = prep.n_points
     duration = max(float(duration), 1e-6)
-    max_abs = float(np.max(np.abs(prep.raw_pts[:n]))) if n else 1.0
+    # Robust scale: one spurious long-range return must not coarsen the
+    # quanta for the whole sweep, so use the 99.9th percentile of |xyz|
+    # and saturate the (rare) points beyond it at the int16 edge.
+    if n:
+        abs_xyz = np.abs(prep.raw_pts[:n])
+        max_abs = float(np.percentile(abs_xyz, 99.9))
+        if max_abs <= 0.0:
+            max_abs = float(np.max(abs_xyz))
+    else:
+        max_abs = 1.0
     scale = max(max_abs, 1e-6) / WIRE_QMAX
     pts_q = np.full((prep.raw_pts.shape[0], 4), -1, np.int16)
-    pts_q[:n, :3] = np.round(prep.raw_pts[:n] / scale)
+    pts_q[:n, :3] = np.clip(np.round(prep.raw_pts[:n] / scale),
+                            -32767, 32767)
     pts_q[:n, 3] = np.clip(
         np.round(prep.t_rel[:n] / duration * WIRE_QMAX), 0, WIRE_QMAX)
     return PackedSweepWire(pts_q=pts_q, scale=scale, duration=duration)

@@ -16,3 +16,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+
+# Persistent compilation cache: compilation dominates the suite's wall
+# clock (VERDICT r1 #3); with the cache a full re-run is minutes faster.
+from sr_livo_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), "..",
+                                      ".jax_test_cache"))
