@@ -124,8 +124,11 @@ def main():
         meas_all.append(m)
 
     # Warm past IMU static init + enough frames to compile every program
-    # (LIO step, color insert, preprocess, pyramid, vision step) and reach
-    # steady map occupancy; vision compiles on the 2nd rendered frame.
+    # (LIO step in BOTH phase specializations, color insert, preprocess,
+    # pyramid, vision step) and reach steady map occupancy; vision compiles
+    # on the 2nd rendered frame, and the steady-phase LIO program only
+    # compiles once index_frame reaches init_num_frames.
+    n_steady = cfg.odometry_options.init_num_frames + 2
     n_warm = 0
     warm_frames = 0
     warm_rendered = 0
@@ -136,7 +139,7 @@ def main():
             warm_frames += 1
             if m.rendering and m.image is not None:
                 warm_rendered += 1
-            if warm_frames >= 12 and warm_rendered >= 3:
+            if warm_frames >= n_steady and warm_rendered >= 3:
                 break
     jax.block_until_ready(pipe.state.p)
     assert pipe.initialized, "IMU static init never completed in warm-up"

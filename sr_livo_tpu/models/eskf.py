@@ -78,6 +78,15 @@ def noise_diag(acc_cov, gyr_cov, b_acc_cov, b_gyr_cov, dtype=jnp.float32):
         jnp.full(3, b_acc_cov, dtype), jnp.full(3, b_gyr_cov, dtype)])
 
 
+def noise_diag_np(acc_cov, gyr_cov, b_acc_cov, b_gyr_cov, dtype=np.float32):
+    """Host-numpy noise_diag (for constants closed over by jitted code —
+    building it on device would force a pathological D2H constant fetch at
+    lowering time on this backend; see models.odometry.LioEngine)."""
+    return np.concatenate([
+        np.full(3, acc_cov, dtype), np.full(3, gyr_cov, dtype),
+        np.full(3, b_acc_cov, dtype), np.full(3, b_gyr_cov, dtype)])
+
+
 def predict(state: EskfState, noise: jnp.ndarray, dt, acc_1, gyr_1) -> EskfState:
     """One midpoint-integration step (eskfEstimator.cpp:166-217)."""
     dtype = state.p.dtype

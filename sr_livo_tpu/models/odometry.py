@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sr_livo_tpu.config import (MOTION_COMP_CONSTANT_VELOCITY, MOTION_COMP_IMU,
                                 LivoConfig)
@@ -212,11 +213,20 @@ class LioEngine:
     def __init__(self, cfg: LivoConfig, dtype=jnp.float32):
         self.cfg = cfg
         self.dtype = dtype
-        self.noise = eskf_mod.noise_diag(
+        # HOST numpy, never device arrays, built WITHOUT touching the
+        # device: these are closed over by the jitted step, and a
+        # closed-over concrete DEVICE array forces a device->host fetch of
+        # the constant at lowering time.  On this TPU backend the first
+        # D2H transfer of a process takes tens-to-hundreds of seconds AND
+        # permanently degrades blocking dispatch to a ~25 ms floor (same
+        # failure class as the voxel-hash device scalars, see
+        # ops.voxel_map._P1 note).  numpy constants inline cleanly.
+        np_dtype = np.dtype(dtype)
+        self.noise = eskf_mod.noise_diag_np(
             cfg.imu_options.acc_cov, cfg.imu_options.gyr_cov,
-            cfg.imu_options.b_acc_cov, cfg.imu_options.b_gyr_cov, dtype)
-        self.r_il = jnp.asarray(cfg.extrinsics.R_imu_lidar(), dtype)
-        self.t_il = jnp.asarray(cfg.extrinsics.t_imu_lidar(), dtype)
+            cfg.imu_options.b_acc_cov, cfg.imu_options.b_gyr_cov, np_dtype)
+        self.r_il = np.asarray(cfg.extrinsics.R_imu_lidar(), np_dtype)
+        self.t_il = np.asarray(cfg.extrinsics.t_imu_lidar(), np_dtype)
         self._steps = {}
         for phase in ("init", "steady"):
             self._steps[phase] = jax.jit(

@@ -55,7 +55,10 @@ class VisionModule:
         self.orig_rows, self.orig_cols = int(co.image_height), int(co.image_width)
         if np.any(np.abs(dist) > 1e-12):
             ud = image_ops.make_undistort_map(k, dist, (self.rows, self.cols))
-            self.ud_map = jnp.asarray(ud)
+            # host numpy: closed over by the jitted preprocess program —
+            # a closed-over device array is a pathological embedded
+            # constant on this backend (models.odometry.LioEngine note)
+            self.ud_map = np.asarray(ud, np.float32)
             # Composed resize+undistort map in ORIGINAL-image pixels for the
             # host-native remap path (OpenCV pixel-center convention).
             self.host_map = np.empty_like(ud)

@@ -218,11 +218,16 @@ class ShardedLioEngine:
         assert sh.map_capacity % self.n_shards == 0
         assert sh.max_keypoints % self.n_shards == 0
         self.local_capacity = sh.map_capacity // self.n_shards
-        self.noise = eskf_mod.noise_diag(
+        # HOST numpy, built without touching the device: closed over by
+        # the jitted step — a closed-over device array forces a
+        # pathological D2H constant fetch at lowering time on this TPU
+        # backend (see models.odometry.LioEngine.__init__).
+        np_dtype = np.dtype(dtype)
+        self.noise = eskf_mod.noise_diag_np(
             cfg.imu_options.acc_cov, cfg.imu_options.gyr_cov,
-            cfg.imu_options.b_acc_cov, cfg.imu_options.b_gyr_cov, dtype)
-        self.r_il = jnp.asarray(cfg.extrinsics.R_imu_lidar(), dtype)
-        self.t_il = jnp.asarray(cfg.extrinsics.t_imu_lidar(), dtype)
+            cfg.imu_options.b_acc_cov, cfg.imu_options.b_gyr_cov, np_dtype)
+        self.r_il = np.asarray(cfg.extrinsics.R_imu_lidar(), np_dtype)
+        self.t_il = np.asarray(cfg.extrinsics.t_imu_lidar(), np_dtype)
 
         map_spec = vm.VoxelMap(keys=P(MAP_AXIS), sig=P(MAP_AXIS),
                                points=P(MAP_AXIS),
