@@ -49,6 +49,13 @@ class BackendConfig:
     odometry_t_w: float = 50.0
     loop_rot_w: float = 100.0
     loop_t_w: float = 100.0
+    # Feed accepted loop closures back into the LIVE filter via
+    # eskf.observe_pose (the reference's observePose hook,
+    # eskfEstimator.cpp:232-260, unused by its main path).  Off by
+    # default: feedback re-anchors the frontend map/trajectory mid-run.
+    feedback_to_filter: bool = False
+    feedback_trans_noise: float = 1e-3
+    feedback_ang_noise: float = 1e-3
 
 
 class MappingBackend:
@@ -59,6 +66,8 @@ class MappingBackend:
         self.n_loop_closures = 0
         self._last_kf_time = -1e18
         self.ba_runs = 0
+        self._pending_feedback = False
+        self.n_feedback_applied = 0
 
     # ---- called by the pipeline after each processed frame -------------
     def maybe_add_keyframe(self, pipeline, out, meas):
@@ -101,6 +110,43 @@ class MappingBackend:
             self._run_window_ba(pipeline.voxel_map)
         if n % self.cfg.loop_check_every_n == 0:
             self._check_loop_closures()
+        if self._pending_feedback and self.cfg.feedback_to_filter:
+            self.apply_pose_correction(pipeline)
+            self._pending_feedback = False
+
+    # ---- loop-closure feedback into the live filter ----------------------
+    def apply_pose_correction(self, pipeline) -> bool:
+        """Re-anchor the LIVE ESKF on the loop-consistent trajectory via
+        eskf.observe_pose (observePose, eskfEstimator.cpp:232-260 — the
+        reference exposes but never calls this hook; here it closes the
+        loop from pose graph back to the filter).
+
+        Solves the pose graph, computes the rigid correction of the
+        newest keyframe (optimized_from_odometry), composes it onto the
+        pipeline's current state, and applies it as a direct 6-dof pose
+        observation.  Returns True when a correction was applied.
+        """
+        if len(self.keyframes) < 2 or not self.edges:
+            return False
+        _, t_opt, q_opt = self.optimized_trajectory()
+        f = self.keyframes[-1]
+        q_old = jnp.asarray(f.q)
+        t_old = jnp.asarray(f.t)
+        q_new = jnp.asarray(q_opt[-1])
+        t_new = jnp.asarray(t_opt[-1])
+        # delta = X_new X_old^-1 (world-frame rigid correction)
+        q_delta = lie.quat_normalize(lie.quat_mul(q_new, lie.quat_conj(q_old)))
+        t_delta = t_new - lie.quat_rotate(q_delta, t_old)
+        state = pipeline.state
+        q_target = lie.quat_normalize(lie.quat_mul(q_delta, state.q))
+        t_target = lie.quat_rotate(q_delta, state.p) + t_delta
+        from sr_livo_tpu.models import eskf as eskf_mod
+        pipeline.state = eskf_mod.observe_pose(
+            state, t_target, q_target,
+            trans_noise=self.cfg.feedback_trans_noise,
+            ang_noise=self.cfg.feedback_ang_noise)
+        self.n_feedback_applied += 1
+        return True
 
     # ---- windowed BA over the most recent keyframes ---------------------
     def _run_window_ba(self, voxel_map):
@@ -153,6 +199,7 @@ class MappingBackend:
                     t=np.asarray(res.t_meas),
                     rot_w=self.cfg.loop_rot_w, t_w=self.cfg.loop_t_w))
                 self.n_loop_closures += 1
+                self._pending_feedback = True
 
     # ---- global optimization --------------------------------------------
     def optimized_trajectory(self, iters: int = 10

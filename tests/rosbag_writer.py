@@ -143,6 +143,63 @@ def ser_pointcloud2_velodyne(stamp: float, xyz: np.ndarray,
     return out
 
 
+def _ser_pointcloud2(stamp: float, step: int, fields, data: np.ndarray
+                     ) -> bytes:
+    """Generic PointCloud2 serializer from a packed (n, step) uint8 array.
+    `fields` = [(name, offset, datatype, count), ...] (PointField codes:
+    2=u8, 4=u16, 6=u32, 7=f32, 8=f64)."""
+    n = data.shape[0]
+    payload = data.tobytes()
+    out = ser_header(stamp)
+    out += struct.pack("<II", 1, n)
+    out += struct.pack("<I", len(fields))
+    for (name, off, dt, cnt) in fields:
+        nm = name.encode()
+        out += struct.pack("<I", len(nm)) + nm
+        out += struct.pack("<IBI", off, dt, cnt)
+    out += struct.pack("<B", 0)
+    out += struct.pack("<II", step, step * n)
+    out += struct.pack("<I", len(payload)) + payload
+    out += struct.pack("<B", 1)
+    return out
+
+
+def ser_pointcloud2_ouster(stamp: float, xyz: np.ndarray,
+                           t_ns: np.ndarray, ring: np.ndarray) -> bytes:
+    """ouster_ros::Point layout (cloudProcessing.h Ouster struct): x, y, z,
+    intensity f32 @0,4,8,12; t u32 ns @16; reflectivity u16 @20;
+    ring u8 @22 (packed)."""
+    n = xyz.shape[0]
+    step = 23
+    data = np.zeros((n, step), np.uint8)
+    data[:, 0:12] = xyz.astype(np.float32).view(np.uint8).reshape(n, 12)
+    data[:, 16:20] = t_ns.astype(np.uint32).view(np.uint8).reshape(n, 4)
+    data[:, 22] = ring.astype(np.uint8)
+    fields = [("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+              ("intensity", 12, 7, 1), ("t", 16, 6, 1),
+              ("reflectivity", 20, 4, 1), ("ring", 22, 2, 1)]
+    return _ser_pointcloud2(stamp, step, fields, data)
+
+
+def ser_pointcloud2_robosense(stamp: float, xyz: np.ndarray,
+                              timestamp_abs_s: np.ndarray,
+                              ring: np.ndarray) -> bytes:
+    """robosense_ros::Point layout (cloudProcessing.h Robosense struct):
+    x, y, z, intensity f32 @0,4,8,12; ring u16 @16; timestamp f64 absolute
+    seconds @18 (packed)."""
+    n = xyz.shape[0]
+    step = 26
+    data = np.zeros((n, step), np.uint8)
+    data[:, 0:12] = xyz.astype(np.float32).view(np.uint8).reshape(n, 12)
+    data[:, 16:18] = ring.astype(np.uint16).view(np.uint8).reshape(n, 2)
+    data[:, 18:26] = (timestamp_abs_s.astype(np.float64)
+                      .view(np.uint8).reshape(n, 8))
+    fields = [("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+              ("intensity", 12, 7, 1), ("ring", 16, 4, 1),
+              ("timestamp", 18, 8, 1)]
+    return _ser_pointcloud2(stamp, step, fields, data)
+
+
 def ser_livox_custom(stamp: float, xyz: np.ndarray, tag: np.ndarray,
                      line: np.ndarray, offset_ns: np.ndarray) -> bytes:
     n = xyz.shape[0]

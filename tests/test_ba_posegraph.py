@@ -193,3 +193,54 @@ def test_pose_graph_perfect_measurements_stay_fixed():
     graph, q_gt, t_gt = _chain_graph(drift=0.0, loop=True)
     q, t = pg.optimize_pose_graph(graph, iters=5)
     assert np.allclose(np.asarray(t), t_gt, atol=1e-3)
+
+
+def test_backend_loop_feedback_reanchors_filter():
+    """apply_pose_correction: an accepted loop closure re-anchors the live
+    ESKF on the optimized trajectory via eskf.observe_pose."""
+    from sr_livo_tpu.models import eskf
+    from sr_livo_tpu.parallel.backend import (BackendConfig, Keyframe,
+                                              MappingBackend)
+
+    be = MappingBackend(BackendConfig(feedback_to_filter=True,
+                                      feedback_trans_noise=1e-6,
+                                      feedback_ang_noise=1e-6))
+    # three keyframes on a drifted straight line; a loop edge ties kf2
+    # back to kf0's true relative pose, pulling the chain back
+    drift = np.array([0.4, -0.2, 0.1], np.float32)
+    qs = [np.array([1, 0, 0, 0], np.float32)] * 3
+    ts = [np.zeros(3, np.float32),
+          np.array([1.0, 0, 0], np.float32),
+          np.array([2.0, 0, 0], np.float32) + drift]
+    for k in range(3):
+        be.keyframes.append(Keyframe(
+            time=float(k), q=qs[k], t=ts[k],
+            points=np.zeros((8, 3), np.float32), valid=np.zeros(8, bool)))
+    # odometry edges reflecting the DRIFTED chain (identity-consistent)
+    for k in range(2):
+        be.edges.append(dict(i=k, j=k + 1,
+                             q=np.array([1, 0, 0, 0], np.float32),
+                             t=(ts[k + 1] - ts[k]),
+                             rot_w=1.0, t_w=1.0))
+    # strong loop edge: kf0 -> kf2 true relative translation (no drift)
+    be.edges.append(dict(i=0, j=2, q=np.array([1, 0, 0, 0], np.float32),
+                         t=np.array([2.0, 0, 0], np.float32),
+                         rot_w=1000.0, t_w=1000.0))
+
+    # live filter sits at the drifted kf2 pose with loose covariance
+    st = eskf.init_state()
+    cov = np.array(st.cov)
+    cov[:6, :6] += np.eye(6)
+    st = st._replace(p=jnp.asarray(ts[2]), cov=jnp.asarray(cov, st.cov.dtype))
+
+    class _P:
+        pass
+    pipe = _P()
+    pipe.state = st
+    assert be.apply_pose_correction(pipe)
+    # the correction moves the live state toward the loop-consistent pose
+    err_before = np.linalg.norm(ts[2] - np.array([2.0, 0, 0]))
+    err_after = np.linalg.norm(np.asarray(pipe.state.p)
+                               - np.array([2.0, 0, 0]))
+    assert err_after < 0.5 * err_before, (err_before, err_after)
+    assert be.n_feedback_applied == 1

@@ -135,3 +135,82 @@ def test_select_points_for_projection_grid():
     # grid spacing respected: no two candidates in the same 10px cell
     cells = {(int(round(u / 10)), int(round(v / 10))) for u, v in uv_ok}
     assert len(cells) == n
+
+
+def test_registry_exhaustion_degrades_gracefully():
+    """Driving the registry past capacity must stop allocating (holes
+    included) without crashing, and the existing map must stay usable
+    (render + projection selection)."""
+    reg_cap = 256
+    m = cm.make_color_map(reg_cap, 1 << 10, 20)
+    total_new = 0
+    first_batch = None
+    for k in range(6):
+        # all points inside the small test camera's frustum (+z)
+        pts = jnp.asarray(np.c_[RNG.uniform(-1.5, 1.5, (128, 2)),
+                                RNG.uniform(2.0, 8.0, 128)], jnp.float32)
+        if first_batch is None:
+            first_batch = pts
+        m, _ = cm.color_insert(m, pts, jnp.ones(128, bool), float(k),
+                               voxel_size=0.1, min_distance=0.01,
+                               max_probe=16)
+        total_new += 128
+    assert total_new > reg_cap          # we really oversubscribed
+    # count saturates at/near capacity and never exceeds it by a batch
+    assert int(m.count) >= reg_cap - 1
+    n_valid = int(jnp.sum(m.reg_valid))
+    assert n_valid <= reg_cap
+    # further inserts are clean no-ops for the registry
+    before = int(jnp.sum(m.reg_valid))
+    pts = jnp.asarray(np.c_[RNG.uniform(-1.5, 1.5, (64, 2)),
+                            RNG.uniform(2.0, 8.0, 64)], jnp.float32)
+    m, _ = cm.color_insert(m, pts, jnp.ones(64, bool), 9.0,
+                           voxel_size=0.1, min_distance=0.01, max_probe=16)
+    assert int(jnp.sum(m.reg_valid)) == before
+    # the saturated map still renders and still yields projection points:
+    # re-observe the first (registered) batch so its voxels are recent
+    m, _ = cm.color_insert(m, first_batch, jnp.ones(128, bool), 10.0,
+                           voxel_size=0.1, min_distance=0.01, max_probe=16)
+    q_cw = jnp.asarray([1.0, 0, 0, 0])
+    t_cw = jnp.zeros(3)
+    t_wc = jnp.zeros(3)
+    intr = jnp.asarray([80.0, 80.0, 32.0, 32.0])
+    img = jnp.full((64, 64, 3), 128.0)
+    m = cm.render_recent(m, img, q_cw, t_cw, t_wc, intr, 10.0,
+                         cols=64, rows=64, max_render_points=512)
+    ids, uv, ok = cm.select_points_for_projection(
+        m, q_cw, t_cw, t_wc, intr, 10.0, max_out=64, cols=64, rows=64,
+        grid_px=8)
+    assert int(jnp.sum(ok)) > 0
+
+
+def test_dedup_grid_saturation_no_crash():
+    """A dedup set driven to full occupancy must stop admitting points
+    (probe failure) without corrupting earlier entries."""
+    m = cm.make_color_map(64, 1 << 5, 4)   # dedup set = 64 cells
+    kept = []
+    for k in range(8):
+        pts = jnp.asarray(RNG.uniform(-4, 4, (64, 3)), jnp.float32)
+        m, _ = cm.color_insert(m, pts, jnp.ones(64, bool), float(k),
+                               voxel_size=0.5, min_distance=0.05,
+                               max_probe=8)
+        kept.append(int(jnp.sum(m.reg_valid)))
+    # monotone non-decreasing, bounded by the registry, no crash
+    assert all(b >= a for a, b in zip(kept, kept[1:]))
+    assert kept[-1] <= 64
+
+
+def test_recent_slots_overflow_truncates():
+    """More touched voxels in one insert than recent_slots capacity: the
+    list fills completely with valid slots and drops the rest."""
+    recent = 16
+    m = cm.make_color_map(4096, 1 << 12, 8, recent=recent)
+    # 200 points, all in distinct 0.1 m voxels -> >> recent touched slots
+    g = np.stack(np.meshgrid(np.arange(20), np.arange(10)),
+                 -1).reshape(-1, 2) * 0.5
+    pts = jnp.asarray(np.c_[g, np.zeros(len(g))], jnp.float32)
+    m, _ = cm.color_insert(m, pts, jnp.ones(len(g), bool), 1.0,
+                           voxel_size=0.1, min_distance=0.01, max_probe=16)
+    rs = np.asarray(m.recent_slots)
+    assert (rs >= 0).all()               # list saturated
+    assert len(np.unique(rs)) == recent  # all distinct slots

@@ -243,3 +243,29 @@ def test_imu_initializer():
         bad.push(t, RNG.randn(3) * 2.0 + [0, 0, 9.8], RNG.randn(3) * 1.5)
         t += 0.005
     assert not bad.ready()
+
+
+def test_observe_pose_direct_update():
+    """observe_pose (observePose, eskfEstimator.cpp:232-260): a direct
+    6-dof pose measurement with tight noise pulls the state onto the
+    measurement, preserves the gravity norm, and contracts covariance."""
+    st = eskf.init_state()
+    # inflate pose covariance so the measurement dominates
+    cov = np.array(st.cov)
+    cov[:6, :6] += np.eye(6) * 1.0
+    st = st._replace(cov=jnp.asarray(cov, st.cov.dtype))
+
+    t_meas = jnp.asarray([1.0, -2.0, 0.5])
+    q_meas = lie.quat_normalize(jnp.asarray([0.98, 0.1, -0.05, 0.15]))
+    new = eskf.observe_pose(st, t_meas, q_meas,
+                            trans_noise=1e-6, ang_noise=1e-6)
+    assert np.allclose(np.asarray(new.p), np.asarray(t_meas), atol=1e-3)
+    d_q = lie.quat_mul(lie.quat_conj(q_meas), new.q)
+    ang = float(lie.angular_distance_deg(lie.quat_to_so3(d_q)))
+    assert ang < 0.5, ang
+    assert abs(float(jnp.linalg.norm(new.g)) - 9.81) < 1e-3
+    assert float(jnp.trace(new.cov)) < float(jnp.trace(st.cov))
+    # covariance stays symmetric PSD
+    c = np.asarray(new.cov, np.float64)
+    assert np.allclose(c, c.T, atol=1e-6)
+    assert np.linalg.eigvalsh(c).min() > -1e-6

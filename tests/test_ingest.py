@@ -189,3 +189,118 @@ def test_bag_replay_end_to_end(tmp_path):
     ts, ps, _ = pipe.trajectory()
     ate = tum.ate_rmse(ts, ps, sim.gt_times, sim.gt_pos, align=True)
     assert ate < 0.08, f"bag-replay ATE {ate:.3f} m"
+
+
+def test_ouster_driver_ntu_profile():
+    """Ouster-16 ingest (NTU profile: `t` u32 ns per point, 20 Hz sweeps,
+    ousterHandler cloudProcessing.cpp:216-325)."""
+    from sr_livo_tpu.config import LIDAR_OUSTER
+    n = 160
+    xyz = RNG.uniform(-12, 12, (n, 3)).astype(np.float32)
+    xyz[:6] *= 0.01                       # inside blind radius
+    t_ns = np.linspace(0, 45e6, n).astype(np.uint32)   # 45 ms sweep
+    ring = (np.arange(n) % 16).astype(np.uint8)
+    payload = rbw.ser_pointcloud2_ouster(200.0, xyz, t_ns, ring)
+    pc = drivers.parse_pointcloud2(payload)
+    assert pc.point_step == 23
+    assert set(pc.fields) >= {"x", "y", "z", "t", "ring"}
+
+    cfg = LivoConfig()
+    cfg.lidar_options.lidar_type = LIDAR_OUSTER
+    cfg.lidar_options.n_scans = 16
+    cfg.lidar_options.scan_rate = 20
+    cfg.lidar_options.time_unit = 3       # ns (configs/ntu.yaml:14)
+    cfg.lidar_options.blind = 1.0
+    cfg.lidar_options.point_filter_num = 1
+    cp = drivers.CloudProcessing(cfg)
+    out = cp.process_cloud(pc)
+    assert out.shape[0] == n - 6, out.shape
+    # absolute times: header stamp + per-point ns offset, monotone
+    assert np.all(np.diff(out[:, 3]) >= 0)
+    # first 6 points are blind-filtered, so the earliest survivor is
+    # index 6 at its own ns offset past the header stamp
+    assert abs(out[0, 3] - (200.0 + t_ns[6] * 1e-9)) < 1e-4
+    assert abs(out[-1, 3] - 200.045) < 1e-4
+    assert np.all(np.linalg.norm(out[:, :3], axis=-1) > 1.0)
+    # monotonic gate: replaying the same message yields nothing
+    assert cp.process_cloud(pc).shape[0] == 0
+
+
+def test_robosense_driver():
+    """Robosense ingest (`timestamp` f64 absolute seconds per point,
+    robosenseHandler cloudProcessing.cpp:435-541)."""
+    from sr_livo_tpu.config import LIDAR_ROBOSENSE
+    n = 120
+    xyz = RNG.uniform(-10, 10, (n, 3)).astype(np.float32)
+    xyz[:4] *= 0.01
+    stamp = 321.0
+    ts_abs = stamp + np.linspace(0, 0.095, n)          # 95 ms sweep
+    ring = (np.arange(n) % 32).astype(np.uint16)
+    payload = rbw.ser_pointcloud2_robosense(stamp, xyz, ts_abs, ring)
+    pc = drivers.parse_pointcloud2(payload)
+    assert set(pc.fields) >= {"x", "y", "z", "timestamp", "ring"}
+
+    cfg = LivoConfig()
+    cfg.lidar_options.lidar_type = LIDAR_ROBOSENSE
+    cfg.lidar_options.n_scans = 32
+    cfg.lidar_options.time_unit = 0       # absolute seconds
+    cfg.lidar_options.blind = 0.5
+    cfg.lidar_options.point_filter_num = 1
+    cp = drivers.CloudProcessing(cfg)
+    out = cp.process_cloud(pc)
+    assert out.shape[0] == n - 4
+    assert np.all(np.diff(out[:, 3]) >= 0)
+    # absolute stamps are made relative to the first point, then re-based
+    # on the header stamp (cloudProcessing.cpp:477); first 4 points are
+    # blind-filtered, so the earliest survivor carries index 4's offset
+    assert abs(out[0, 3] - (stamp + (ts_abs[4] - ts_abs[0]))) < 1e-4
+    assert abs(out[-1, 3] - (stamp + 0.095)) < 1e-4
+
+
+def test_ouster_through_sweep_cutter():
+    """Ouster stream (20 Hz) + IMU + image through SweepCutter: the
+    image-aligned sweep must end exactly at the image stamp."""
+    from sr_livo_tpu.config import LIDAR_OUSTER
+    from sr_livo_tpu.runtime.measurements import SweepCutter
+
+    cfg = LivoConfig()
+    cfg.lidar_options.lidar_type = LIDAR_OUSTER
+    cfg.lidar_options.n_scans = 16
+    cfg.lidar_options.scan_rate = 20
+    cfg.lidar_options.time_unit = 3
+    cfg.lidar_options.blind = 1.0
+    cfg.lidar_options.point_filter_num = 1
+    cp = drivers.CloudProcessing(cfg)
+
+    cutter = SweepCutter(0.05)
+    t0 = 500.0
+    for k in range(8):                    # 8 sweeps @ 20 Hz
+        n = 96
+        xyz = RNG.uniform(2, 12, (n, 3)).astype(np.float32)
+        t_ns = np.linspace(0, 49.9e6, n).astype(np.uint32)
+        ring = (np.arange(n) % 16).astype(np.uint8)
+        pc = drivers.parse_pointcloud2(rbw.ser_pointcloud2_ouster(
+            t0 + 0.05 * k, xyz, t_ns, ring))
+        out = cp.process_cloud(pc)
+        assert out.shape[0] == n
+        cutter.push_points(out)
+    for k in range(81):                   # 200 Hz IMU covering the span
+        cutter.push_imu(t0 + 0.005 * k, np.array([0, 0, 9.81]),
+                        np.zeros(3))
+    img_t = t0 + 0.12                     # image mid-stream
+    cutter.push_image(img_t, np.zeros((4, 4, 3), np.uint8))
+
+    meas, aligned = [], []
+    while True:
+        m = cutter.get()
+        if m is None:
+            break
+        meas.append(m)
+        if m.rendering:
+            aligned.append(m)
+    assert aligned, "no image-aligned sweep produced"
+    m = aligned[0]
+    assert abs(m.time_image - img_t) < 1e-9
+    # every point in the aligned sweep precedes the image stamp
+    assert m.points.shape[0] > 0
+    assert m.points[:, 3].max() < img_t + 1e-9

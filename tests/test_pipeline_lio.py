@@ -127,3 +127,27 @@ def test_debug_output_frame_dumps(tmp_path):
              if ln.startswith("POINTS")][0].split()[1])
     pts = np.frombuffer(raw[hdr_end:], np.float32).reshape(n, 3)
     assert n > 0 and np.all(np.isfinite(pts))
+
+
+def test_map_eviction_bounds_map_and_keeps_tracking(sim):
+    """Far-voxel eviction (removePointsFarFromLocation,
+    lioOptimization.cpp:556-572): with a tight max_distance the map stays
+    bounded while the odometry keeps converging."""
+    from sr_livo_tpu.ops.voxel_map import map_size
+
+    cfg = _small_cfg()
+    cfg.enable_map_eviction = True
+    cfg.eviction_every_n_frames = 5
+    cfg.odometry_options.max_distance = 12.0
+    pipe = LivoPipeline(cfg)
+    run_streams(pipe, sim)
+    assert pipe.initialized
+    recs = pipe.records
+    assert sum(r.success for r in recs) > 0.9 * len(recs)
+    # the map never exceeds what a 12 m ball of 0.6 m voxels could hold
+    n_vox = int(map_size(pipe.voxel_map))
+    assert 0 < n_vox < (2 * 12.0 / 0.6) ** 3
+    ts, ps, _ = pipe.trajectory()
+    from sr_livo_tpu.runtime import tum
+    ate = tum.ate_rmse(ts, ps, sim.gt_times, sim.gt_pos, align=True)
+    assert ate < 0.10, f"eviction-enabled ATE {ate:.3f} m"
