@@ -1,0 +1,161 @@
+"""Sharded-engine scaling measurement (VERDICT r1 next-step #5).
+
+Runs the SAME sweep workload through ShardedLioEngine on 1-, 2- and
+8-virtual-device CPU meshes.  Virtual devices SHARE the physical cores,
+so wall time follows  T_N ~ (N*f + w + N*c) / cores  where f is the
+replicated per-device front half (IMU propagation, undistortion,
+subsampling — duplicated on every shard), w the map work that shards,
+and c the per-device collective cost.  A real N-chip run executes the
+N-fold terms concurrently, so the quantity that predicts real-hardware
+scaling efficiency is the per-device step cost
+
+    per_device_factor(N) = T_N * N / (T_1 * N)   -> reported as
+    T_N(normalized to one device's share) vs T_1
+
+Writes SCALING_r02.json with the raw rates, the fitted (f + c)/(f + w)
+replication fraction, and the projected N-chip efficiency
+1 / (repl + (1 - repl)) == 1 / (f/(f+w) * N_norm ...) — see the JSON
+fields; `projected_efficiency_8` is the number to compare against the
+>= 0.8 target.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+
+def build_preps(cfg, n=10):
+    from sr_livo_tpu.runtime import measurements as meas_mod
+    from sr_livo_tpu.runtime import synthetic
+    sim = synthetic.simulate(duration=6.0, n_azimuth=128, n_rings=16, seed=4)
+    cutter = meas_mod.SweepCutter(0.1)
+    for (t, a, g) in sim.imu:
+        cutter.push_imu(t, a, g)
+    for c in sim.lidar_chunks:
+        cutter.push_points(c)
+    for (t, img) in sim.images:
+        cutter.push_image(t, img)
+    preps = []
+    current = None
+    while len(preps) < n:
+        m = cutter.get()
+        if m is None:
+            break
+        if current is None:
+            current = m.time_sweep_begin
+        prep = meas_mod.prepare_sweep(m, current, cfg)
+        current = prep.new_current_time
+        preps.append(prep)
+    return preps
+
+
+def run(n_shards: int, preps, cfg, repeats: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sr_livo_tpu.models.odometry import SweepInput
+    from sr_livo_tpu.parallel import mesh as mesh_mod
+    from sr_livo_tpu.parallel.sharded_lio import ShardedLioEngine
+
+    mesh = mesh_mod.make_mesh(n_shards)
+    eng = ShardedLioEngine(cfg, mesh)
+    rep = NamedSharding(mesh, P())
+
+    sweeps = []
+    for fid, prep in enumerate(preps, start=1):
+        s = SweepInput(
+            raw_pts=jnp.asarray(prep.raw_pts), t_rel=jnp.asarray(prep.t_rel),
+            pt_valid=jnp.asarray(prep.pt_valid),
+            imu_t=jnp.asarray(prep.imu_t), imu_dt=jnp.asarray(prep.imu_dt),
+            imu_acc=jnp.asarray(prep.imu_acc),
+            imu_gyr=jnp.asarray(prep.imu_gyr),
+            imu_valid=jnp.asarray(prep.imu_valid),
+            do_optimize=jnp.asarray(fid > 1),
+            threshold_capacity=jnp.int32(1))
+        sweeps.append(jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), s))
+
+    # warm-up pass (compiles both phases, fills the map realistically)
+    state, vmap_ = eng.init_state(), eng.make_map()
+    for fid, s in enumerate(sweeps, start=1):
+        out = eng.step(state, vmap_, s, fid)
+        state, vmap_ = out.state, out.voxel_map
+    jax.block_until_ready(state.p)
+
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        st, vm_ = state, vmap_
+        for fid, s in enumerate(sweeps, start=1):
+            out = eng.step(st, vm_, s, fid + len(sweeps))
+            st, vm_ = out.state, out.voxel_map
+        jax.block_until_ready(st.p)
+        best = max(best, len(sweeps) / (time.perf_counter() - t0))
+        # the map was donated into the timed run; rebuild for the next
+        state, vmap_ = st, vm_
+    return best
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from sr_livo_tpu.config import LivoConfig
+
+    cfg = LivoConfig()
+    cfg.odometry_options.voxel_size = 0.2
+    cfg.odometry_options.init_voxel_size = 0.2
+    cfg.odometry_options.sample_voxel_size = 0.8
+    cfg.odometry_options.init_sample_voxel_size = 0.8
+    cfg.odometry_options.min_distance_points = 0.05
+    cfg.icp.size_voxel_map = 0.6
+    cfg.icp.min_number_neighbors = 12
+    cfg.shapes.max_sweep_points = 4096
+    cfg.shapes.max_frame_points = 4096
+    cfg.shapes.max_keypoints = 1024
+    cfg.shapes.max_imu_samples = 48
+    cfg.shapes.map_capacity = 1 << 16
+
+    preps = build_preps(cfg)
+    r1 = run(1, preps, cfg)
+    r2 = run(2, preps, cfg)
+    r8 = run(8, preps, cfg)
+    t1, t2, t8 = 1.0 / r1, 1.0 / r2, 1.0 / r8
+    # cost model on shared cores: T_N = (N*(f + c) + w) / C  with
+    # f = replicated front half, c = per-device collective/padding cost,
+    # w = shardable map work; T_1 = (f + w) / C (c_1 = 0).  Two diffs
+    # give (f + c); the rest is w.  Projected strong-scaling efficiency
+    # on N REAL chips (each runs f + c + w/N concurrently):
+    #   eff_N = (f + w) / (N * (f + c + w / N))
+    fc = (t8 - t2) / 6.0
+    w = max(t1 - fc, 1e-9)              # upper bound: includes c_1=0 slack
+    eff8 = (fc + w) / (8.0 * fc + w)
+    out = {
+        "backend": "cpu-virtual",
+        "physical_cores": os.cpu_count(),
+        "sweeps_per_s_1shard": round(r1, 2),
+        "sweeps_per_s_2shard": round(r2, 2),
+        "sweeps_per_s_8shard": round(r8, 2),
+        "replicated_plus_collective_cost_s": round(fc, 5),
+        "shardable_work_s": round(w, 5),
+        "projected_efficiency_8chips": round(eff8, 3),
+        "note": "virtual CPU devices share the physical cores, so every "
+                "per-device term executes serially and raw T_8/T_1 is not "
+                "an efficiency; projected_efficiency_8chips applies the "
+                "fitted cost split to 8 REAL chips running their "
+                "per-device work concurrently (target >= 0.8)",
+    }
+    with open(os.path.join(ROOT, "SCALING_r02.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

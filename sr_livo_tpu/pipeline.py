@@ -41,9 +41,14 @@ class FrameRecord:
 
 
 class LivoPipeline:
-    def __init__(self, cfg: LivoConfig, vision=None, backend=None):
+    def __init__(self, cfg: LivoConfig, vision=None, backend=None,
+                 stream=None):
         self.cfg = cfg
         self.backend = backend  # optional parallel.backend.MappingBackend
+        # optional runtime.streaming.StreamPublisher — live pose/path/
+        # color-map files while the run is in flight (L7 parity with the
+        # reference publishers, lioOptimization.cpp:1186-1384)
+        self.stream = stream
         self.engine = LioEngine(cfg)
         self.cutter = meas_mod.SweepCutter(
             cfg.sweep_interval,
@@ -203,6 +208,11 @@ class LivoPipeline:
                        summ.iterations.astype(jnp.float32)])])
         self._pending_records.append(
             (meas.time_image, meas.rendering, rec_vec))
+        if self.stream is not None:
+            self.stream.publish_frame(
+                meas.time_image, rec_vec,
+                color_map=(self.vision.color_map
+                           if self.vision is not None else None))
         self.index_frame += 1
 
     # ---- records (lazy batched device->host materialization) --------------

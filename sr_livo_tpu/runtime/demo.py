@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=2)
     ap.add_argument("--vision", action="store_true",
                     help="render camera images and run the vision ESIKFs")
+    ap.add_argument("--stream", default=None, metavar="DIR",
+                    help="publish live pose/path/color-map files to DIR "
+                         "while the run is in flight")
     args = ap.parse_args(argv)
 
     import jax
@@ -73,9 +76,16 @@ def main(argv=None):
                              n_rings=12, seed=args.seed,
                              image_size=image_size, camera=camera)
 
-    pipe = LivoPipeline(cfg, vision=vision)
+    stream = None
+    if args.stream:
+        from sr_livo_tpu.runtime.streaming import StreamPublisher
+        stream = StreamPublisher(args.stream)
+    pipe = LivoPipeline(cfg, vision=vision, stream=stream)
     t0 = time.time()
     run_streams(pipe, sim)
+    if stream is not None:
+        stream.close()
+        print(f"[demo] live stream written to {args.stream}")
     wall = time.time() - t0
 
     ts, ps, qs = pipe.trajectory()

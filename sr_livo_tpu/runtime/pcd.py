@@ -40,8 +40,15 @@ def save_color_points(color_map, path: str, minimum_views: int = 3) -> int:
     reg_valid = np.asarray(color_map.reg_valid)
     n_rgb = np.asarray(color_map.n_rgb)
     sel = reg_valid & (n_rgb >= minimum_views)
-    pos = np.asarray(color_map.pos)[sel].astype(np.float32)
-    rgb = np.clip(np.asarray(color_map.rgb)[sel], 0, 255).astype(np.uint32)
+    return save_color_rows(np.asarray(color_map.pos),
+                           np.asarray(color_map.rgb), sel, path)
+
+
+def save_color_rows(pos: np.ndarray, rgb: np.ndarray, sel: np.ndarray,
+                    path: str) -> int:
+    """Colored binary PCD from raw rows (positions, 0-255 rgb, mask)."""
+    pos = np.asarray(pos, np.float32)[sel]
+    rgb = np.clip(np.asarray(rgb)[sel], 0, 255).astype(np.uint32)
     n = pos.shape[0]
 
     packed = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]

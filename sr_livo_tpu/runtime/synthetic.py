@@ -223,6 +223,22 @@ def lidar_directions_spinning(n_azimuth: int = 120, n_rings: int = 16,
     return d, phase
 
 
+def lidar_directions_livox(n_az: int = 120, n_el: int = 80,
+                           fov_az: float = 35.0, fov_el: float = 38.0):
+    """Livox-Avia-style forward cone (+x body axis): a raster over a
+    ~70x77 degree FoV with a column-major sweep phase.  Every direction
+    has x-components large enough to pass the Livox near-field gate
+    (x > 0.7 m, cloudProcessing.cpp:136-143)."""
+    az = np.deg2rad(np.linspace(-fov_az, fov_az, n_az))
+    el = np.deg2rad(np.linspace(-fov_el, fov_el, n_el))
+    azg, elg = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.cos(elg) * np.cos(azg),
+                  np.cos(elg) * np.sin(azg),
+                  np.sin(elg)], axis=-1).reshape(-1, 3)
+    phase = np.repeat((az - az[0]) / (az[-1] - az[0] + 1e-9) * 0.98, n_el)
+    return d, phase
+
+
 @dataclass
 class SimStream:
     """All sensor streams for one simulated run."""
@@ -242,6 +258,10 @@ def simulate(duration: float = 12.0, *, imu_rate: float = 200.0,
              acc_bias=(0.05, -0.03, 0.02), gyr_bias=(0.002, -0.001, 0.003),
              image_size: Tuple[int, int] = (0, 0),
              camera=None, image_offset: float = 0.035,
+             r_il=None, t_il=None,
+             r_ic=None, t_ic=None,
+             dist_coeffs=None, cam_time_offset: float = 0.0,
+             dirs_phase=None,
              seed: int = 0, world: Optional[SyntheticWorld] = None,
              traj: Optional[Trajectory] = None) -> SimStream:
     """Simulate a run.  Returns streams in pipeline ingest format.
@@ -249,6 +269,19 @@ def simulate(duration: float = 12.0, *, imu_rate: float = 200.0,
     Images are rendered only when image_size != (0, 0) (expensive).
     `image_offset` staggers image timestamps against nominal sweep
     boundaries so sweep reconstruction actually re-cuts the stream.
+
+    Calibration dimensions (all exercised by the reference dataset
+    profiles, lioOptimization.cpp:362-398):
+      * `r_il`/`t_il`   — LiDAR-IMU extrinsic: emitted LiDAR points are in
+        the LiDAR frame, point_imu = R_il p_l + t_il (utility.cpp:320-332).
+      * `r_ic`/`t_ic`   — camera-IMU extrinsic used for rendering (defaults
+        to the CV-convention forward camera of render_image).
+      * `dist_coeffs`   — OpenCV radial-tangential distortion
+        (k1, k2, p1, p2, k3): images are rendered DISTORTED, exercising
+        the pipeline's undistort-rectify path (imageProcessing.cpp:103).
+      * `cam_time_offset` — the image stamped t was actually captured at
+        t + cam_time_offset (the time_td the 11-dof vision ESIKF
+        estimates, imageProcessing.cpp:239).
     """
     rng = np.random.RandomState(seed)
     world = world or SyntheticWorld()
@@ -256,6 +289,8 @@ def simulate(duration: float = 12.0, *, imu_rate: float = 200.0,
     g_vec = np.array([0.0, 0.0, 9.81])
     acc_bias = np.asarray(acc_bias)
     gyr_bias = np.asarray(gyr_bias)
+    r_il = np.eye(3) if r_il is None else np.asarray(r_il, np.float64)
+    t_il = np.zeros(3) if t_il is None else np.asarray(t_il, np.float64)
 
     # IMU stream
     imu = []
@@ -268,8 +303,11 @@ def simulate(duration: float = 12.0, *, imu_rate: float = 200.0,
                     gyr + gyr_bias + rng.randn(3) * imu_gyr_noise))
         t += 1.0 / imu_rate
 
-    # LiDAR stream: continuous spinning pattern, chunked per sweep interval
-    dirs, phase = lidar_directions_spinning(n_azimuth, n_rings)
+    # LiDAR stream: continuous scan pattern, chunked per sweep interval
+    # (spinning by default; pass dirs_phase=lidar_directions_livox(...)
+    # for a Livox-style forward cone)
+    dirs, phase = (dirs_phase if dirs_phase is not None
+                   else lidar_directions_spinning(n_azimuth, n_rings))
     sweep_T = 1.0 / sweep_rate
     lidar_chunks = []
     t0 = 0.01
@@ -277,15 +315,17 @@ def simulate(duration: float = 12.0, *, imu_rate: float = 200.0,
         ts = t0 + phase * sweep_T
         order = np.argsort(ts, kind="stable")
         ts_o = ts[order]
-        dirs_o = dirs[order]
-        origins = traj.position(ts_o)
+        dirs_o = dirs[order] @ r_il.T          # LiDAR-frame dirs -> body
         rots = traj.rotation(ts_o)
+        origins = traj.position(ts_o) + np.einsum("nij,j->ni", rots, t_il)
         dirs_w = np.einsum("nij,nj->ni", rots, dirs_o)
         pts_w, hit, rng_t = world.raycast(origins, dirs_w)
-        # convert to sensor frame + range noise
+        # vector from the LiDAR center, in body axes, then -> LiDAR frame
+        # (point_imu = R_il p_l + t_il, utility.cpp:320-332)
         local = np.einsum("nji,nj->ni", rots, pts_w - origins)
         rr = np.linalg.norm(local, axis=-1, keepdims=True)
         local = local * (1.0 + rng.randn(local.shape[0], 1) * lidar_noise / np.maximum(rr, 0.5))
+        local = local @ r_il               # rows: R_il^T v
         chunk = np.concatenate([local[hit], ts_o[hit, None]], axis=-1)
         lidar_chunks.append(chunk)
         t0 += sweep_T
@@ -294,9 +334,13 @@ def simulate(duration: float = 12.0, *, imu_rate: float = 200.0,
     images = []
     if image_size[0] > 0 and camera is not None:
         tc = 0.1 + image_offset
+        dirs_cam = _camera_ray_table(camera, image_size, dist_coeffs)
         while tc < duration - 0.05:
-            images.append((tc, render_image(world, traj, tc, camera,
-                                            image_size)))
+            # stamped tc, truly captured at tc + cam_time_offset
+            images.append((tc, render_image(
+                world, traj, tc + cam_time_offset, camera, image_size,
+                r_imu_camera=r_ic, t_imu_camera=t_ic,
+                dist_coeffs=dist_coeffs, _dirs_cam=dirs_cam)))
             tc += 1.0 / image_rate
     else:
         # image *timestamps* only (sweep alignment still exercised)
@@ -312,35 +356,83 @@ def simulate(duration: float = 12.0, *, imu_rate: float = 200.0,
                      gt_times=gt_times, gt_pos=gt_pos, gt_quat=gt_quat)
 
 
+def _undistort_normalized(xd: np.ndarray, yd: np.ndarray, dist,
+                          iters: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """Invert the OpenCV radial-tangential model by fixed-point iteration:
+    find (x, y) with distort(x, y) == (xd, yd)."""
+    k1, k2, p1, p2, k3 = (list(dist) + [0.0] * 5)[:5]
+    x, y = xd.copy(), yd.copy()
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return x, y
+
+
+def _camera_ray_table(camera, size: Tuple[int, int],
+                      dist_coeffs=None) -> np.ndarray:
+    """Unit camera-frame ray per pixel, (H*W, 3).  With `dist_coeffs`
+    the pixel grid is interpreted through the OpenCV radial-tangential
+    model, so the rendered image is DISTORTED exactly as a real lens
+    would produce it (inverse of initUndistortRectifyMap,
+    imageProcessing.cpp:103)."""
+    h, w = size
+    fx, fy, cx, cy = camera
+    us, vs = np.meshgrid(np.arange(w), np.arange(h))
+    xn = (us - cx) / fx
+    yn = (vs - cy) / fy
+    if dist_coeffs is not None and np.any(np.abs(dist_coeffs) > 1e-12):
+        xn, yn = _undistort_normalized(xn.astype(np.float64),
+                                       yn.astype(np.float64), dist_coeffs)
+    d = np.stack([xn, yn, np.ones_like(xn)], axis=-1) \
+        .reshape(-1, 3).astype(np.float64)
+    return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+
 def render_image(world: SyntheticWorld, traj: Trajectory, t: float,
                  camera, size: Tuple[int, int],
                  r_imu_camera: Optional[np.ndarray] = None,
-                 t_imu_camera: Optional[np.ndarray] = None) -> np.ndarray:
-    """Ray-cast a pinhole image (H, W, 3) float32 in [0, 1].
+                 t_imu_camera: Optional[np.ndarray] = None,
+                 dist_coeffs=None,
+                 _dirs_cam: Optional[np.ndarray] = None,
+                 chunk: int = 1 << 17) -> np.ndarray:
+    """Ray-cast an image (H, W, 3) float32 in [0, 1].
 
     `camera` is (fx, fy, cx, cy) for the given size.  The camera frame is
     the standard CV convention (+z forward, +x right, +y down); by default
-    it looks along the body +x axis (a typical LiDAR-forward rig).
+    it looks along the body +x axis (a typical LiDAR-forward rig).  With
+    `dist_coeffs` the output is lens-distorted (see _camera_ray_table).
+    Ray casting runs in `chunk`-sized batches to bound the (N, R, 3)
+    intermediate at full camera resolutions.
     """
     h, w = size
-    fx, fy, cx, cy = camera
     if r_imu_camera is None:
         # camera z -> body x, camera x -> body -y, camera y -> body -z
         r_imu_camera = np.array([[0.0, 0.0, 1.0],
                                  [-1.0, 0.0, 0.0],
                                  [0.0, -1.0, 0.0]])
+    else:
+        r_imu_camera = np.asarray(r_imu_camera, np.float64).reshape(3, 3)
     if t_imu_camera is None:
         t_imu_camera = np.zeros(3)
-    us, vs = np.meshgrid(np.arange(w), np.arange(h))
-    d_cam = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us)],
-                     axis=-1).reshape(-1, 3).astype(np.float64)
-    d_cam /= np.linalg.norm(d_cam, axis=-1, keepdims=True)
+    else:
+        t_imu_camera = np.asarray(t_imu_camera, np.float64)
+    d_cam = (_dirs_cam if _dirs_cam is not None
+             else _camera_ray_table(camera, size, dist_coeffs))
     r_wb = traj.rotation(t)
     p_wb = traj.position(t)
     r_wc = r_wb @ r_imu_camera
-    o = (r_wb @ t_imu_camera + p_wb)[None, :].repeat(d_cam.shape[0], 0)
-    d_w = d_cam @ r_wc.T
-    pts, hit, _ = world.raycast(o, d_w)
-    col = world.color(pts)
-    col[~hit] = 0.0
+    o_w = r_wb @ t_imu_camera + p_wb
+    n = d_cam.shape[0]
+    col = np.empty((n, 3), np.float64)
+    for s in range(0, n, chunk):
+        d_w = d_cam[s:s + chunk] @ r_wc.T
+        o = o_w[None, :].repeat(d_w.shape[0], 0)
+        pts, hit, _ = world.raycast(o, d_w)
+        c = world.color(pts)
+        c[~hit] = 0.0
+        col[s:s + chunk] = c
     return col.reshape(h, w, 3).astype(np.float32)

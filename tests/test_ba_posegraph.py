@@ -94,22 +94,30 @@ def test_sharded_ba_matches_single():
                             min_neighbors=8, iters=3)
 
     msh = mesh_mod.make_mesh(8)
-    # reshard the map into 8 sub-tables routed by shard_of
+    # reshard the map into 8 sub-tables routed by shard_of: one padded
+    # batched insert per shard (a per-slot insert loop would dispatch
+    # hundreds of shape-varying programs and dominate the test's runtime)
     cap = m.keys.shape[0]
     sub_cap = cap // 8
-    sharded = vm.make_map(cap, 20)
-    pts_flat = np.asarray(m.points)
+    K = m.block_capacity
+    pts_flat = np.asarray(m.points).reshape(-1, K, 3)
     counts = np.asarray(m.counts)
     keys = np.asarray(m.keys)
     occupied = np.nonzero(counts > 0)[0]
+    shard_ids = np.asarray(shard_of(jnp.asarray(keys[occupied]), 8))
+    slot_mask = np.arange(K)[None, :] < counts[occupied][:, None]
+    pad = int(max((shard_ids == s).sum() for s in range(8))) * K
     sub_maps = [vm.make_map(sub_cap, 20) for _ in range(8)]
-    for slot in occupied:
-        c = counts[slot]
-        K = m.block_capacity
-        pts_s = np.asarray(m.points)[slot * K: slot * K + c]
-        shard = int(shard_of(jnp.asarray(keys[slot][None]), 8)[0])
-        sub_maps[shard], _ = vm.insert(
-            sub_maps[shard], jnp.asarray(pts_s), jnp.ones(c, bool),
+    for s in range(8):
+        sel = occupied[shard_ids == s]
+        pts_s = pts_flat[sel].reshape(-1, 3)
+        ok_s = slot_mask[shard_ids == s].reshape(-1)
+        pts_p = np.zeros((pad, 3), np.float32)
+        ok_p = np.zeros(pad, bool)
+        pts_p[:len(pts_s)] = pts_s
+        ok_p[:len(ok_s)] = ok_s
+        sub_maps[s], _ = vm.insert(
+            sub_maps[s], jnp.asarray(pts_p), jnp.asarray(ok_p),
             1.0, 0.0, 16)
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *sub_maps)

@@ -164,7 +164,9 @@ def test_predict_sweep_parallel_matches_scan():
         acc_0=jnp.asarray([0.1, 0.2, 9.7], jnp.float32),
         gyr_0=jnp.asarray([0.05, -0.02, 0.01], jnp.float32))
     noise = _make_noise()
-    for S, n_valid in ((64, 64), (64, 41), (48, 48), (7, 5)):
+    # each distinct S compiles both formulations — keep 2 sizes
+    # (full/partial validity share the S=64 compile)
+    for S, n_valid in ((64, 64), (64, 41), (7, 5)):
         dts = np.full(S, 0.005, np.float32)
         accs = (np.array([0, 0, 9.81]) + RNG.randn(S, 3) * 0.5).astype(np.float32)
         gyrs = (RNG.randn(S, 3) * 0.3).astype(np.float32)
