@@ -150,7 +150,13 @@ def main():
                 "per-device term executes serially and raw T_8/T_1 is not "
                 "an efficiency; projected_efficiency_8chips applies the "
                 "fitted cost split to 8 REAL chips running their "
-                "per-device work concurrently (target >= 0.8)",
+                "per-device work concurrently (target >= 0.8).  Caveat: "
+                "the replicated numeric front half (IMU scan, de-skew, "
+                "subsampling) measures ~5 ms of the fitted f+c, so the "
+                "fit is dominated by shard_map collective EMULATION on "
+                "shared cores (memcpy all_gathers, serialized per-shard "
+                "programs) — a cost class that rides ICI on real chips; "
+                "treat the projection as a floor, not an estimate",
     }
     with open(os.path.join(ROOT, "SCALING_r02.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -49,33 +49,36 @@ class SweepInput(NamedTuple):
 
 
 class WireSweep(NamedTuple):
-    """int16 wire form of a sweep (runtime.measurements.pack_sweep): the
-    point payload crosses the host->device link quantized (xyz by `scale`
-    meters/quantum, per-point time as a [0, 32000] fraction of `duration`;
-    alpha=-1 marks padding).  Unpacked to a SweepInput on device."""
+    """Wire form of a sweep: THREE host->device transfers instead of ten
+    (each transfer through the device tunnel costs ~0.15 ms of serial
+    stream time regardless of size, so the sweep's many small arrays are
+    packed into dense buffers host-side).
+
+      pts_q (N, 4) int16 — xyz quantized by `meta[0]` meters/quantum,
+        per-point time as a [0, WIRE_QMAX] fraction of `meta[1]`;
+        alpha = -1 marks padding (runtime.measurements.pack_sweep)
+      imu   (S, 9) f32   — columns [t, dt, acc(3), gyr(3), valid]
+      meta  (4,)  f32    — [scale, duration, do_optimize,
+                            threshold_capacity]
+
+    Unpacked to a SweepInput on device."""
     pts_q: jnp.ndarray       # (N, 4) int16
-    scale: jnp.ndarray       # () f32 meters per quantum
-    duration: jnp.ndarray    # () f32 seconds
-    imu_t: jnp.ndarray
-    imu_dt: jnp.ndarray
-    imu_acc: jnp.ndarray
-    imu_gyr: jnp.ndarray
-    imu_valid: jnp.ndarray
-    do_optimize: jnp.ndarray
-    threshold_capacity: jnp.ndarray
+    imu: jnp.ndarray         # (S, 9) f32
+    meta: jnp.ndarray        # (4,) f32
 
 
 def unpack_wire(w: WireSweep) -> SweepInput:
     from sr_livo_tpu.runtime.measurements import WIRE_QMAX
     alpha = w.pts_q[:, 3].astype(jnp.float32)
+    scale, duration = w.meta[0], w.meta[1]
     return SweepInput(
-        raw_pts=w.pts_q[:, :3].astype(jnp.float32) * w.scale,
-        t_rel=jnp.maximum(alpha, 0.0) * (w.duration / WIRE_QMAX),
+        raw_pts=w.pts_q[:, :3].astype(jnp.float32) * scale,
+        t_rel=jnp.maximum(alpha, 0.0) * (duration / WIRE_QMAX),
         pt_valid=alpha >= 0,
-        imu_t=w.imu_t, imu_dt=w.imu_dt, imu_acc=w.imu_acc,
-        imu_gyr=w.imu_gyr, imu_valid=w.imu_valid,
-        do_optimize=w.do_optimize,
-        threshold_capacity=w.threshold_capacity)
+        imu_t=w.imu[:, 0], imu_dt=w.imu[:, 1], imu_acc=w.imu[:, 2:5],
+        imu_gyr=w.imu[:, 5:8], imu_valid=w.imu[:, 8] > 0.5,
+        do_optimize=w.meta[2] > 0.5,
+        threshold_capacity=w.meta[3].astype(jnp.int32))
 
 
 class SweepOutput(NamedTuple):
@@ -85,6 +88,18 @@ class SweepOutput(NamedTuple):
     frame_pts_world: jnp.ndarray   # (F, 3) registered world points
     frame_valid: jnp.ndarray       # (F,) bool
     inserted: jnp.ndarray          # (F,) bool — stored into the map
+    record: jnp.ndarray            # (19,) packed per-frame record
+    #   [p(3), q(4), v(3), ba(3), bg(3), success, n_residuals, iters]
+    #   — built in-program so the host appends ONE device vector per
+    #   frame instead of dispatching a handful of eager concat ops
+
+
+def pack_record(state: EskfState, summary: lio.IekfSummary) -> jnp.ndarray:
+    return jnp.concatenate([
+        state.p, state.q, state.v, state.ba, state.bg,
+        jnp.stack([summary.success.astype(jnp.float32),
+                   summary.num_residuals.astype(jnp.float32),
+                   summary.iterations.astype(jnp.float32)])])
 
 
 def _sweep_core(state: EskfState,
@@ -201,10 +216,12 @@ def _sweep_core(state: EskfState,
         odo.min_distance_points, sh.map_max_probe,
         budget=sh.max_insert_points)
 
+    summary = summary._replace(success=success)
     return SweepOutput(state=state_new, voxel_map=voxel_map_new,
-                       summary=summary._replace(success=success),
+                       summary=summary,
                        frame_pts_world=frame_world,
-                       frame_valid=frame_valid, inserted=inserted)
+                       frame_valid=frame_valid, inserted=inserted,
+                       record=pack_record(state_new, summary))
 
 
 class LioEngine:

@@ -214,7 +214,7 @@ class VisionModule:
         dt = obs_time - self.prev_time
         self._rng, k1, k2 = jax.random.split(self._rng, 3)
         with timers.stage("vis_step"):
-            (self.camera, self.color_map, self.tracks, n_tracked, n_inlier) \
+            (self.camera, self.color_map, self.tracks, stats_vec) \
                 = _vision_step(
                 self.camera, self.color_map, self.tracks,
                 self.prev_pyr, cur_pyr, rgb, q_wi, t_wi,
@@ -228,8 +228,7 @@ class VisionModule:
                 estimate_intrinsic=True, estimate_extrinsic=True)
             if timers.sync:
                 jax.block_until_ready(self.camera.intr)
-        self._stats_pending.append(
-            (float(obs_time), jnp.stack([n_tracked, n_inlier])))
+        self._stats_pending.append((float(obs_time), stats_vec))
         self.prev_pyr = cur_pyr
         self.prev_time = obs_time
 
@@ -392,4 +391,7 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
         px=jnp.where(keep[:, None], cur_px, new_px),
         active=keep | use_cand)
 
-    return camera, color_map, tracks_new, jnp.sum(status), jnp.sum(keep)
+    # (n_tracked, n_inlier) packed in-program: one device vector for the
+    # host stats list instead of two scalars + an eager stack
+    return (camera, color_map, tracks_new,
+            jnp.stack([jnp.sum(status), jnp.sum(keep)]))

@@ -239,7 +239,8 @@ class ShardedLioEngine:
         out_spec = SweepOutput(
             state=state_spec, voxel_map=map_spec,
             summary=lio_mod.IekfSummary(P(), P(), P()),
-            frame_pts_world=P(), frame_valid=P(), inserted=P())
+            frame_pts_world=P(), frame_valid=P(), inserted=P(),
+            record=P())
 
         self._steps = {}
         for phase in ("init", "steady"):
@@ -336,10 +337,13 @@ class ShardedLioEngine:
             budget=sh.max_insert_points)
         inserted = jax.lax.psum(inserted_l.astype(jnp.int32), MAP_AXIS) > 0
 
+        summary = summary._replace(success=success)
+        from sr_livo_tpu.models.odometry import pack_record
         return SweepOutput(state=state_new, voxel_map=local_new,
-                           summary=summary._replace(success=success),
+                           summary=summary,
                            frame_pts_world=frame_world,
-                           frame_valid=frame_valid, inserted=inserted)
+                           frame_valid=frame_valid, inserted=inserted,
+                           record=pack_record(state_new, summary))
 
     def step(self, state, voxel_map, sweep: SweepInput, frame_id: int):
         phase = ("init" if frame_id < self.cfg.odometry_options.init_num_frames

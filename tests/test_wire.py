@@ -25,13 +25,18 @@ def _prep(n=500, n_max=1024, duration=0.1, rng=None):
 def test_pack_roundtrip_accuracy():
     prep, duration = _prep()
     wire = meas_mod.pack_sweep(prep, duration)
+    imu_pack = np.concatenate([
+        prep.imu_t[:, None], prep.imu_dt[:, None], prep.imu_acc,
+        prep.imu_gyr, prep.imu_valid[:, None].astype(np.float32)],
+        axis=1).astype(np.float32)
+    meta = np.array([wire.scale, wire.duration, 1.0, 1.0], np.float32)
     sw = unpack_wire(WireSweep(
-        pts_q=jnp.asarray(wire.pts_q), scale=jnp.float32(wire.scale),
-        duration=jnp.float32(wire.duration),
-        imu_t=jnp.asarray(prep.imu_t), imu_dt=jnp.asarray(prep.imu_dt),
-        imu_acc=jnp.asarray(prep.imu_acc), imu_gyr=jnp.asarray(prep.imu_gyr),
-        imu_valid=jnp.asarray(prep.imu_valid),
-        do_optimize=jnp.asarray(True), threshold_capacity=jnp.int32(1)))
+        pts_q=jnp.asarray(wire.pts_q), imu=jnp.asarray(imu_pack),
+        meta=jnp.asarray(meta)))
+    assert bool(sw.do_optimize) and int(sw.threshold_capacity) == 1
+    assert np.allclose(np.asarray(sw.imu_t), prep.imu_t)
+    assert np.allclose(np.asarray(sw.imu_acc), prep.imu_acc, atol=1e-6)
+    assert np.array_equal(np.asarray(sw.imu_valid), prep.imu_valid)
     raw = np.asarray(sw.raw_pts)
     t_rel = np.asarray(sw.t_rel)
     valid = np.asarray(sw.pt_valid)
