@@ -108,3 +108,44 @@ def test_sharded_matches_single_device():
     # residual counts in the same ballpark (tie-breaks may differ)
     assert abs(int(o1.summary.num_residuals)
                - int(o2.summary.num_residuals)) <= 5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_matches_single_device_with_residual_cap():
+    """Parity WITH the residual cap enabled (the benchmarked config):
+    the sharded engine reproduces the single-chip global keypoint-order
+    prefix (optimize.cpp:107) via scalar all_gather of per-shard prefix
+    counts, so trajectories must still agree."""
+    cfg = _cfg()
+    cfg.icp.max_num_residuals = 220    # < typical residual count -> active
+    preps = _sweeps(cfg, n=6)
+    assert len(preps) >= 4
+
+    single = LioEngine(cfg)
+    sharded = ShardedLioEngine(cfg, mesh_mod.make_mesh(8))
+    s1, m1 = single.init_state(), single.make_map()
+    s2, m2 = sharded.init_state(), sharded.make_map()
+    capped = 0
+    for fid, prep in enumerate(preps, start=1):
+        sweep = SweepInput(
+            raw_pts=jnp.asarray(prep.raw_pts), t_rel=jnp.asarray(prep.t_rel),
+            pt_valid=jnp.asarray(prep.pt_valid),
+            imu_t=jnp.asarray(prep.imu_t), imu_dt=jnp.asarray(prep.imu_dt),
+            imu_acc=jnp.asarray(prep.imu_acc),
+            imu_gyr=jnp.asarray(prep.imu_gyr),
+            imu_valid=jnp.asarray(prep.imu_valid),
+            do_optimize=jnp.asarray(fid > 1),
+            threshold_capacity=jnp.int32(1))
+        o1 = single.step(s1, m1, sweep, fid)
+        o2 = sharded.step(s2, m2, sweep, fid)
+        s1, m1 = o1.state, o1.voxel_map
+        s2, m2 = o2.state, o2.voxel_map
+        if fid > 1 and int(o1.summary.num_residuals) >= 220:
+            capped += 1
+        assert np.allclose(o1.state.p, o2.state.p, atol=2e-3), (
+            fid, np.asarray(o1.state.p), np.asarray(o2.state.p))
+        assert np.allclose(o1.state.q, o2.state.q, atol=1e-4)
+        # the cap itself must agree exactly between the two engines
+        assert (int(o1.summary.num_residuals)
+                == int(o2.summary.num_residuals)), fid
+    assert capped >= 2, "cap never engaged; lower max_num_residuals"
