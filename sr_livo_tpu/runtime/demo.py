@@ -18,7 +18,13 @@ import time
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--duration", type=float, default=10.0)
-    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                    help="cpu (default) or tpu; note on tunneled TPU "
+                         "backends the end-of-run trajectory readback is "
+                         "the process's first device->host transfer and "
+                         "can take minutes (models/odometry.py LioEngine "
+                         "note) — bench.py avoids it, the demo's ATE "
+                         "report cannot")
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=2)
     ap.add_argument("--vision", action="store_true",
