@@ -218,6 +218,8 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="shorter sim for smoke runs")
     ap.add_argument("--duration", type=float, default=None)
+    ap.add_argument("--strict", action="store_true",
+                    help="exit 1 when a bound check fails (CI gating)")
     args = ap.parse_args()
     _force_cpu()
 
@@ -265,6 +267,9 @@ def main():
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
+    if args.strict and not (out["all_within_bound"]
+                            and out["cache_delta_within_10pct_of_bound"]):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -41,21 +41,35 @@ class IcpOptions:
     min_number_neighbors: int = 20
     voxel_neighborhood: int = 1
     power_planarity: float = 2.0
-    estimate_normal_from_neighborhood: bool = True
     max_number_neighbors: int = 20
     max_dist_to_plane_icp: float = 0.3
     threshold_orientation_norm: float = 0.0001  # degrees
     threshold_translation_norm: float = 0.001   # meters
-    point_to_plane_with_distortion: bool = True
     max_num_residuals: int = -1
-    # Reference-parity, intentionally unused: read from YAML but never
-    # consulted by the reference optimizer either (parameters.h:42 only
-    # documents it; no read in optimize.cpp).
-    min_num_residuals: int = 100
-    num_closest_neighbors: int = 1
     weight_alpha: float = 0.9
     weight_neighborhood: float = 0.1
+    # Print ICP failure diagnostics (num_residuals below
+    # min_number_neighbors) like the reference does at optimize.cpp:119.
     debug_print: bool = False
+    # --- Reference-parity, intentionally unused fields ------------------
+    # Each is read from YAML by readParameters (lioOptimization.cpp:
+    # 252-350) and echoed by recordParameters, but never consulted by any
+    # reference computation; kept so reference YAMLs load unchanged.
+    #   min_num_residuals: parameters.h:42 documents it; no read in
+    #     optimize.cpp (the failure gate uses min_number_neighbors,
+    #     optimize.cpp:110).
+    #   num_closest_neighbors: parameters.h:44; zero reads outside the
+    #     parameter dump (parameters.cpp:141).
+    #   point_to_plane_with_distortion: parameters.h:38; zero reads
+    #     anywhere (grep of src/ finds only the declaration).
+    #   estimate_normal_from_neighborhood: only toggles whether
+    #     searchNeighbors collects a `voxels` vector (optimize.cpp:76,
+    #     :369-419) that no caller ever reads afterwards — behaviorally a
+    #     no-op in the reference.
+    min_num_residuals: int = 100
+    num_closest_neighbors: int = 1
+    point_to_plane_with_distortion: bool = True
+    estimate_normal_from_neighborhood: bool = True
 
 
 @dataclass
@@ -64,12 +78,19 @@ class OdometryOptions:
     init_voxel_size: float = 0.2
     init_sample_voxel_size: float = 1.0
     init_num_frames: int = 20
+    # Frame-retirement bound BEFORE filter init: the pipeline keeps at
+    # most this many in-flight frame records pre-init and 2 afterwards
+    # (lioOptimization.cpp:1101-1130), streaming retired records out.
+    # Consumed by LivoPipeline when retire_frames is enabled.
     num_for_initialization: int = 10
     voxel_size: float = 0.5
     sample_voxel_size: float = 1.5
     max_distance: float = 100.0
     max_num_points_in_voxel: int = 20
     min_distance_points: float = 0.1
+    # Reference-parity, intentionally unused: read (lioOptimization.cpp:
+    # 312) and echoed (parameters.cpp:88) but never consulted by any
+    # reference computation (zero reads in src/ outside those two sites).
     distance_error_threshold: float = 5.0
     motion_compensation: int = MOTION_COMP_CONSTANT_VELOCITY
     # IEKF pose-seed predictor (stateInitialization, lioOptimization.cpp:
@@ -225,6 +246,14 @@ class LivoConfig:
     # reference main loop, lioOptimization.cpp:1032 — off by default here too)
     enable_map_eviction: bool = False
     eviction_every_n_frames: int = 20
+    # Frame retirement (lioOptimization.cpp:1101-1130): bound the live
+    # frame-record set to num_for_initialization pre-init / 2 post-init,
+    # appending retired poses to output_path pose/velocity/bias files in
+    # batches (or dropping them when a StreamPublisher already mirrors
+    # every record to odometry_live.txt).  Off by default: short runs
+    # keep the full in-memory record list for trajectory()/ATE use.
+    retire_frames: bool = False
+    retire_batch: int = 64              # frames per batched materialization
 
     @property
     def sweep_interval(self) -> float:

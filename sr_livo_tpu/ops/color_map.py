@@ -121,17 +121,22 @@ def _claim_dedup(dedup_sig: jnp.ndarray, coords: jnp.ndarray,
     absent cell (and is the batch winner for it).  Scatter-min arbitration
     elects one winner per cell (as in the voxel-map insert); a same-cell
     loser matches the winner's signature on its next probe and resolves
-    as a duplicate."""
+    as a duplicate.  Claim rounds run to a FIXPOINT (while_loop, like
+    voxel_map.insert phase 4): a valid non-duplicate point is only ever
+    dropped when its whole probe chain is full — never because a
+    different-signature winner beat it to a cell in a bounded number of
+    rounds.  Terminates: each round elects >= 1 winner per contended
+    cell, and a point whose chain has no empty cell left is resolved as
+    dropped."""
     cap = dedup_sig.shape[0]
     n = coords.shape[0]
     base = vm.voxel_hash(coords, cap)
     want = vm.voxel_sig(coords)
     idx_n = jnp.arange(n, dtype=jnp.int32)
     offs = jnp.arange(max_probe, dtype=jnp.int32)
-    sig = dedup_sig
-    is_new = jnp.zeros((n,), bool)
-    resolved = ~valid
-    for _r in range(2):
+
+    def _round(carry):
+        sig, is_new, resolved = carry
         cand = (base[:, None] + offs) & (cap - 1)
         g = sig[cand]
         match = jnp.any(g == want[:, None], axis=-1)
@@ -148,7 +153,13 @@ def _claim_dedup(dedup_sig: jnp.ndarray, coords: jnp.ndarray,
         sig = sig.at[jnp.where(winner, tgt, cap + idx_n)].set(
             want, mode="drop", unique_indices=True)
         is_new = is_new | winner
-        resolved = resolved | winner
+        # resolved: matched, won, or probe chain exhausted (dropped)
+        resolved = resolved | winner | ~has_empty
+        return sig, is_new, resolved
+
+    sig, is_new, _ = jax.lax.while_loop(
+        lambda c: ~jnp.all(c[2]), _round,
+        (dedup_sig, jnp.zeros((n,), bool), ~valid))
     return sig, is_new
 
 

@@ -56,6 +56,12 @@ class BackendConfig:
     feedback_to_filter: bool = False
     feedback_trans_noise: float = 1e-3
     feedback_ang_noise: float = 1e-3
+    # Long-run memory bound: keyframes beyond this many keep their pose
+    # (pose graph stays complete) but drop their point payload — the
+    # dominant per-keyframe memory (max_keyframe_points x 3 f32).
+    # Condensed keyframes are skipped as loop-closure candidates.
+    # 0 = unbounded (keep all payloads).
+    max_keyframe_payloads: int = 0
 
 
 class MappingBackend:
@@ -110,6 +116,14 @@ class MappingBackend:
             self._run_window_ba(pipeline.voxel_map)
         if n % self.cfg.loop_check_every_n == 0:
             self._check_loop_closures()
+        m = self.cfg.max_keyframe_payloads
+        if m > 0 and n > m:
+            # condense old keyframes: poses stay (the pose graph is
+            # complete), point payloads are freed beyond the newest m
+            for f in self.keyframes[:n - m]:
+                if f.points.shape[0]:
+                    f.points = np.zeros((0, 3), np.float32)
+                    f.valid = np.zeros((0,), bool)
         if self._pending_feedback and self.cfg.feedback_to_filter:
             self.apply_pose_correction(pipeline)
             self._pending_feedback = False
@@ -125,6 +139,18 @@ class MappingBackend:
         newest keyframe (optimized_from_odometry), composes it onto the
         pipeline's current state, and applies it as a direct 6-dof pose
         observation.  Returns True when a correction was applied.
+
+        The same world-frame delta is composed onto every STORED
+        keyframe pose, so the next odometry edge (between the last
+        pre-correction keyframe and the first post-correction one)
+        measures actual motion instead of absorbing the correction jump.
+        Relative edges are invariant under this rigid re-anchor.
+
+        Known limitation: the frontend voxel map is NOT rebuilt — after
+        a large correction, ICP registers new sweeps against geometry
+        inserted at the drifted poses until those voxels are naturally
+        re-observed/evicted.  Keep feedback_to_filter off (default) when
+        map self-consistency matters more than live loop consistency.
         """
         if len(self.keyframes) < 2 or not self.edges:
             return False
@@ -145,6 +171,16 @@ class MappingBackend:
             state, t_target, q_target,
             trans_noise=self.cfg.feedback_trans_noise,
             ang_noise=self.cfg.feedback_ang_noise)
+        # Re-anchor the stored keyframes into the corrected world frame
+        # so the next odometry edge does not remeasure the jump.
+        qd = np.asarray(q_delta, np.float32)
+        td = np.asarray(t_delta, np.float32)
+        for f in self.keyframes:
+            fq = np.asarray(lie.quat_normalize(
+                lie.quat_mul(jnp.asarray(qd), jnp.asarray(f.q))), np.float32)
+            ft = np.asarray(lie.quat_rotate(jnp.asarray(qd),
+                                            jnp.asarray(f.t)), np.float32) + td
+            f.q, f.t = fq, ft
         self.n_feedback_applied += 1
         return True
 
@@ -152,6 +188,8 @@ class MappingBackend:
     def _run_window_ba(self, voxel_map):
         k = self.cfg.window_size
         kfs = self.keyframes[-k:]
+        if any(f.points.shape[0] == 0 for f in kfs):
+            return             # condensed payloads in window (m < window)
         window = ba_mod.KeyframeWindow(
             q=jnp.asarray(np.stack([f.q for f in kfs])),
             t=jnp.asarray(np.stack([f.t for f in kfs])),
@@ -188,6 +226,8 @@ class MappingBackend:
             if (i, j) in existing:
                 continue
             fi, fj = self.keyframes[i], self.keyframes[j]
+            if fi.points.shape[0] == 0 or fj.points.shape[0] == 0:
+                continue       # condensed keyframe: payload retired
             res = lc.verify_closure(
                 jnp.asarray(fi.points), jnp.asarray(fi.valid),
                 jnp.asarray(fj.points), jnp.asarray(fj.valid),

@@ -9,8 +9,9 @@ windowed-BA block exchange and pose-graph synchronization cross DCN.
 
 This module cannot be exercised on the single-chip CI environment; the
 mesh logic is validated on the virtual multi-device CPU backend
-(tests/test_distributed.py), and `dryrun_multichip` covers the sharded
-compute path.
+(tests/test_distributed_loop.py), a REAL 2-process gloo run
+(tests/test_distributed_multiprocess.py), and `dryrun_multichip` covers
+the sharded compute path.
 """
 
 from __future__ import annotations

@@ -67,6 +67,12 @@ class LivoPipeline:
         # tunnel would serialize the whole pipeline (RTT >> compute).
         self._records: List[FrameRecord] = []
         self._pending_records: list = []     # (time, rendering, (19,) dev)
+        self.n_retired = 0                   # frames retired to disk/stream
+        if cfg.retire_frames and stream is None:
+            # retirement appends; start the output files fresh
+            os.makedirs(cfg.output_path, exist_ok=True)
+            for name in ("pose.txt", "velocity.txt", "bias.txt"):
+                open(os.path.join(cfg.output_path, name), "w").close()
         self._last_imu_sample = None
         # last two solved poses for the INIT_CONSTANT_VELOCITY seed
         # (stateInitialization, lioOptimization.cpp:895-990); device arrays,
@@ -204,6 +210,15 @@ class LivoPipeline:
             with self.timers.stage("backend"):
                 self.backend.maybe_add_keyframe(self, out, meas)
 
+        if self.cfg.icp.debug_print:
+            # ICP failure diagnostics (optimize.cpp:110-123).  Reads the
+            # packed record back synchronously — debug mode only.
+            row = np.asarray(out.record, np.float64)
+            if row[16] < 0.5:
+                print("[Optimization] Error : not enough keypoints "
+                      "selected in ct-icp !\n[Optimization] "
+                      f"number_of_residuals : {int(row[17])}")
+
         # per-frame record is packed inside the LIO program (out.record)
         self._pending_records.append(
             (meas.time_image, meas.rendering, out.record))
@@ -212,7 +227,62 @@ class LivoPipeline:
                 meas.time_image, out.record,
                 color_map=(self.vision.color_map
                            if self.vision is not None else None))
+        if self.cfg.retire_frames:
+            self._maybe_retire()
         self.index_frame += 1
+
+    # ---- frame retirement (keep-2 semantics, lioOptimization.cpp:1101) ----
+    def _maybe_retire(self):
+        """Bound the live record set like the reference's frame loop:
+        keep `num_for_initialization` frames before filter init and 2
+        afterwards (lioOptimization.cpp:1101-1130), retiring older ones
+        through recordSinglePose-equivalent appends.  Retirement runs in
+        `retire_batch`-sized batches so the device->host materialization
+        is one packed transfer per batch; with a StreamPublisher attached
+        the records are already mirrored to odometry_live.txt on the
+        publisher thread and retired entries are simply dropped."""
+        keep = (2 if self.initialized
+                else self.cfg.odometry_options.num_for_initialization)
+        if len(self._pending_records) < keep + self.cfg.retire_batch:
+            # also bound _records if a mid-run .records access moved
+            # pending entries there already
+            if len(self._records) > keep + self.cfg.retire_batch:
+                n_ret = len(self._records) - keep
+                self._append_retired(self._records[:n_ret])
+                self._records = self._records[n_ret:]
+                self.n_retired += n_ret
+            return
+        n_ret = len(self._pending_records) - keep
+        retired = self._pending_records[:n_ret]
+        self._pending_records = self._pending_records[n_ret:]
+        if self.stream is None:
+            rows = np.asarray(
+                jnp.stack([r for (_, _, r) in retired]), np.float64)
+            recs = [FrameRecord(
+                time=t, position=row[0:3], quat_wxyz=row[3:7],
+                velocity=row[7:10], ba=row[10:13], bg=row[13:16],
+                success=bool(row[16] > 0.5), num_residuals=int(row[17]),
+                iterations=int(row[18]), rendering=rend)
+                for (t, rend, _), row in zip(retired, rows)]
+            self._append_retired(recs)
+        self.n_retired += n_ret
+
+    def _append_retired(self, recs: List[FrameRecord]):
+        """recordSinglePose for retired frames (lioOptimization.cpp:
+        1133-1172): append TUM pose + velocity + bias lines."""
+        out_dir = self.cfg.output_path
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "pose.txt"), "a") as fp, \
+                open(os.path.join(out_dir, "velocity.txt"), "a") as fv, \
+                open(os.path.join(out_dir, "bias.txt"), "a") as fb:
+            for r in recs:
+                p, q, v = r.position, r.quat_wxyz, r.velocity
+                fp.write(f"{r.time:.9f} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f} "
+                         f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n")
+                fv.write(f"{r.time:.9f} {v[0]:.9f} {v[1]:.9f} {v[2]:.9f}\n")
+                fb.write(f"{r.time:.9f} "
+                         f"{r.ba[0]:.9f} {r.ba[1]:.9f} {r.ba[2]:.9f} "
+                         f"{r.bg[0]:.9f} {r.bg[1]:.9f} {r.bg[2]:.9f}\n")
 
     # ---- records (lazy batched device->host materialization) --------------
     @property
@@ -277,9 +347,16 @@ class LivoPipeline:
 
     def write_outputs(self, out_dir: Optional[str] = None):
         """pose.txt / velocity.txt / bias.txt (recordSinglePose,
-        lioOptimization.cpp:1133-1172)."""
+        lioOptimization.cpp:1133-1172).  With retire_frames on, retired
+        frames were appended at retirement time; this flushes only the
+        still-live tail (append into the same files)."""
         out_dir = out_dir or self.cfg.output_path
         os.makedirs(out_dir, exist_ok=True)
+        if self.cfg.retire_frames and self.n_retired and self.stream is None \
+                and out_dir == self.cfg.output_path:
+            self._append_retired(self.records)
+            self._records = []
+            return
         ts, ps, qs = self.trajectory()
         tum.write_tum(os.path.join(out_dir, "pose.txt"), ts, ps, qs)
         with open(os.path.join(out_dir, "velocity.txt"), "w") as f:

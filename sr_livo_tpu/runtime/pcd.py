@@ -72,3 +72,20 @@ def save_color_rows(pos: np.ndarray, rgb: np.ndarray, sel: np.ndarray,
         f.write(header.encode("ascii"))
         f.write(data.tobytes())
     return n
+
+
+def load_pcd_xyz(path: str) -> np.ndarray:
+    """Read a binary PCD written by this module: returns (N, F) float32
+    rows (x y z [rgb-packed])."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    end = raw.index(b"DATA binary\n") + len(b"DATA binary\n")
+    header = raw[:end].decode("ascii").splitlines()
+    nfields = npoints = None
+    for line in header:
+        if line.startswith("FIELDS"):
+            nfields = len(line.split()) - 1
+        elif line.startswith("POINTS"):
+            npoints = int(line.split()[1])
+    return np.frombuffer(raw, np.float32, npoints * nfields,
+                         end).reshape(npoints, nfields)

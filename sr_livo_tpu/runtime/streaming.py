@@ -63,7 +63,14 @@ class StreamPublisher:
         self._q: queue.Queue = queue.Queue(maxsize=256)
         self._frame_idx = 0
         self._chunk_idx = 0
-        self._published_ids = 0      # registry rows already written
+        self._published_ids = 0      # registry rows already scanned
+        # Rows scanned but not yet publishable (n_rgb below min_views at
+        # the time of the scan).  The reference's threadPubColorPoints
+        # re-scans the whole registry every tick (lioOptimization.cpp:
+        # 1305-1334) so late-maturing points are eventually published;
+        # here we keep their indices and re-check them against the next
+        # registry snapshot instead of re-reading everything.
+        self._pending_rows = np.zeros((0,), np.int64)
         self._n_lines = 0
         self.last_error: Optional[Exception] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -121,7 +128,7 @@ class StreamPublisher:
                     + " " + " ".join(f"{x:.9f}" for x in q)
                     + " " + " ".join(f"{x:.9f}" for x in v) + "\n")
         self._n_lines = getattr(self, "_n_lines", 0) + 1
-        if self._n_lines % self.path_stride == 1:
+        if (self._n_lines - 1) % self.path_stride == 0:
             with open(self._path_path, "a") as f:
                 # TUM: t x y z qx qy qz qw
                 f.write(f"{t:.9f} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f} "
@@ -136,14 +143,20 @@ class StreamPublisher:
         reg, count = cmap
         count = int(count)
         lo = self._published_ids
-        if count <= lo:
+        # Candidate rows this tick: every previously-unpublishable row
+        # (their n_rgb grows with later observations) plus the new ones.
+        idx = np.concatenate(
+            [self._pending_rows, np.arange(lo, max(lo, count))])
+        self._published_ids = max(lo, count)
+        if idx.size == 0:
             return
-        rows = np.asarray(reg[lo:count])                # D2H, new rows only
+        rows = np.asarray(reg[idx])                     # D2H, sparse rows
         ok = (rows[:, C_VALID] > 0.5) & (rows[:, C_NRGB] >= self.min_views)
+        # Invalid rows stay pending too: a claimed-but-unfilled slot at
+        # snapshot time becomes valid once its insert program lands.
+        self._pending_rows = idx[~ok]
         if not ok.any():
-            # rows exist but are not publishable yet; retry them next tick
             return
-        self._published_ids = count
         path = os.path.join(self.out_dir, "color_chunks",
                             f"chunk_{self._chunk_idx:05d}.pcd")
         self._chunk_idx += 1

@@ -228,3 +228,23 @@ def ser_image_rgb8(stamp: float, img: np.ndarray) -> bytes:
     payload = img.astype(np.uint8).tobytes()
     out += struct.pack("<I", len(payload)) + payload
     return out
+
+
+def ser_compressed_image(stamp: float, img: np.ndarray,
+                         fmt: str = "jpeg", quality: int = 92) -> bytes:
+    """sensor_msgs/CompressedImage with a real JPEG/PNG payload (the
+    r3live_compressed profile's image transport,
+    lioOptimization.cpp:583-664 compressedImageHandler)."""
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img.astype(np.uint8)).save(
+        buf, format=fmt.upper(), **({"quality": quality}
+                                    if fmt.lower() == "jpeg" else {}))
+    payload = buf.getvalue()
+    out = ser_header(stamp)
+    enc = fmt.encode()
+    out += struct.pack("<I", len(enc)) + enc
+    out += struct.pack("<I", len(payload)) + payload
+    return out

@@ -100,3 +100,54 @@ def test_stream_files_grow_mid_run(tmp_path):
     assert len(chunks) >= len(chunks_mid)
     first = open(os.path.join(out, "color_chunks", chunks[0]), "rb").read(200)
     assert first.startswith(b"# .PCD")
+
+
+def test_chunk_publisher_revisits_late_maturing_rows(tmp_path):
+    """A row below pub_point_minimum_views at its first snapshot must be
+    published once its n_rgb matures (the reference's
+    threadPubColorPoints re-scans the registry every tick,
+    lioOptimization.cpp:1305-1334).  Regression test for the mixed-batch
+    drop: previously _published_ids advanced past unpublishable rows."""
+    from sr_livo_tpu.ops.color_map import C_NRGB, C_POS, C_VALID, REG_WIDTH
+    from sr_livo_tpu.runtime.pcd import load_pcd_xyz
+
+    out = str(tmp_path / "pub")
+    pub = StreamPublisher(out, pub_point_minimum_views=3)
+
+    def reg_snapshot(n_rgb_by_row):
+        reg = np.zeros((64, REG_WIDTH), np.float32)
+        for i, nv in n_rgb_by_row.items():
+            reg[i, C_POS] = (float(i), 0.0, 0.0)
+            reg[i, C_VALID] = 1.0
+            reg[i, C_NRGB] = nv
+        return reg
+
+    # tick 1: rows 0-9 exist, none mature -> no chunk, all pending
+    pub._write_chunk((reg_snapshot({i: 1 for i in range(10)}), 10))
+    # tick 2: rows 0-4 matured; rows 10-14 appear (12-14 already mature)
+    nv = {i: (4 if i < 5 else 1) for i in range(10)}
+    nv.update({i: (5 if i >= 12 else 2) for i in range(10, 15)})
+    pub._write_chunk((reg_snapshot(nv), 15))
+    # tick 3: everything matured
+    pub._write_chunk((reg_snapshot({i: 6 for i in range(15)}), 15))
+    pub.close()
+
+    chunks = sorted(os.listdir(os.path.join(out, "color_chunks")))
+    assert len(chunks) == 2, chunks
+    published = set()
+    for c in chunks:
+        pts = load_pcd_xyz(os.path.join(out, "color_chunks", c))
+        published |= {int(round(x)) for x in pts[:, 0]}
+    # every one of the 15 rows is eventually published, exactly once
+    assert published == set(range(15))
+
+
+def test_path_live_written_with_stride_one(tmp_path):
+    out = str(tmp_path / "p1")
+    pub = StreamPublisher(out, path_stride=1)
+    rec = np.zeros(19, np.float32)
+    pub._handle(("frame", 1.0, rec, None))
+    pub._handle(("frame", 2.0, rec, None))
+    pub.close()
+    lines = open(os.path.join(out, "path_live.txt")).read().splitlines()
+    assert len(lines) == 2
