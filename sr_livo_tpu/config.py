@@ -210,6 +210,18 @@ class ShapeOptions:
     lk_pyramid_levels: int = 4
     lk_window: int = 21
     lk_iterations: int = 10
+    # --- Sharded (multi-chip) engine geometry -----------------------
+    # Map blocks: voxels grouped into (2^bits)^3 spatial blocks; a block's
+    # owner shard stores it plus a halo of `map_halo_voxels` voxels around
+    # its blocks, making the 27/125-voxel kNN fully shard-local.
+    map_block_bits: int = 4
+    map_halo_voxels: int = 2           # >= max nb_voxels_visited (init: 2)
+    # Routing-buffer slack over the balanced per-shard expectation:
+    # hash-range exchanges are uniform (slack 4 is >>10 sigma); block
+    # exchanges follow spatial density (queries/inserts) and use the same
+    # knob.  Overflow is dropped deterministically and counted in
+    # SweepOutput.route_overflow.
+    shard_route_slack: float = 4.0
 
 
 @dataclass

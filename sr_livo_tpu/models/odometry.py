@@ -92,6 +92,9 @@ class SweepOutput(NamedTuple):
     #   [p(3), q(4), v(3), ba(3), bg(3), success, n_residuals, iters]
     #   — built in-program so the host appends ONE device vector per
     #   frame instead of dispatching a handful of eager concat ops
+    route_overflow: jnp.ndarray    # () int32 — points dropped by the
+    #   sharded engine's fixed routing/compaction budgets this sweep
+    #   (always 0 on the single-chip engine; never silently truncated)
 
 
 def pack_record(state: EskfState, summary: lio.IekfSummary) -> jnp.ndarray:
@@ -221,7 +224,8 @@ def _sweep_core(state: EskfState,
                        summary=summary,
                        frame_pts_world=frame_world,
                        frame_valid=frame_valid, inserted=inserted,
-                       record=pack_record(state_new, summary))
+                       record=pack_record(state_new, summary),
+                       route_overflow=jnp.int32(0))
 
 
 class LioEngine:

@@ -1,12 +1,38 @@
-"""Multi-chip LIO: voxel-map blocks sharded across the device mesh.
+"""Multi-chip LIO: spatial map blocks sharded across the device mesh.
 
-The distributed dimension the reference lacks (SURVEY §2 checklist): the
-voxel-hash map is partitioned into per-device sub-tables routed by
-`hash(voxel) % n_shards`; kNN association fans out to every shard and
-merges candidates with an `all_gather` + top-k; the ESIKF normal-equation
-blocks (H^T H, H^T h) are reduced with `psum` — a Schur-complement-style
-reduction over ICI.  Implemented with `shard_map` over a 1-D mesh, so the
-same ops code (ops.voxel_map, ops.neighborhood) runs per shard.
+The distributed dimension the reference lacks (SURVEY §2 checklist).
+Round-3 redesign — the round-2 engine replicated the entire sweep front
+half on every shard and merged kNN candidates with an
+all_gather-everything + replicated top-k; this version shards the O(N)
+work and owner-routes the rest:
+
+  * **Front half sharded.**  Each shard de-skews an N/n index slice of
+    the raw sweep (distortFrameByConstant/Imu are per-point — no
+    communication).  The voxel-grid subsamples (buildFrame:843-848,
+    optimize.cpp:428-431) run as EXACT distributed dedups: local
+    winners are routed to hash-range owners (one all_to_all), each
+    owner dedups/sorts its contiguous hash range, and global offsets
+    (one scalar all_gather) reproduce the single-chip output order
+    bit-for-bit — including the max_out truncation and the residual
+    cap's keypoint order (optimize.cpp:107).
+  * **Block-owner map with voxel halos.**  Voxels are grouped into
+    (2^map_block_bits)^3 spatial blocks; a block's owner stores it plus
+    every voxel within `map_halo_voxels` of its blocks (inserts are
+    routed to the <=8 distinct corner-block owners).  A keypoint routed
+    to its center-block owner finds its whole 27/125-voxel kNN
+    neighborhood (searchNeighbors, optimize.cpp:365-426) in that
+    shard's LOCAL table — no candidate exchange, no merge.
+  * **Per-iteration collectives: one packed psum.**  Each IEKF
+    iteration reduces [H^T H | H^T h | num] as a single 43-float psum;
+    the global residual-cap prefix rides one small bool all_gather
+    (ranks are gathered once per sweep).  The 17x17 solve is replicated
+    (trivial).
+
+Routing buffers are static-shape with `shard_route_slack` headroom;
+overflow is dropped deterministically and COUNTED
+(SweepOutput.route_overflow — asserted zero in the parity tests).
+Halo copies roughly double map storage; `map_size()` counts owned
+voxels only and matches the single-chip map exactly.
 """
 
 from __future__ import annotations
@@ -20,214 +46,99 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from sr_livo_tpu.config import LivoConfig
+from sr_livo_tpu.config import (MOTION_COMP_CONSTANT_VELOCITY,
+                                MOTION_COMP_IMU, LivoConfig)
 from sr_livo_tpu.models import eskf as eskf_mod
 from sr_livo_tpu.models import lio as lio_mod
 from sr_livo_tpu.models.eskf import EskfState
-from sr_livo_tpu.models.odometry import SweepInput, SweepOutput
+from sr_livo_tpu.models.odometry import (SweepInput, SweepOutput,
+                                         pack_record)
 from sr_livo_tpu.ops import frame as frame_ops
 from sr_livo_tpu.ops import neighborhood as nb_ops
 from sr_livo_tpu.ops import voxel_map as vm
+from sr_livo_tpu.parallel import routing
 from sr_livo_tpu.parallel.mesh import MAP_AXIS
 from sr_livo_tpu.utils import lie
 
+# Block hash primes (independent of the in-table slot hash so block
+# ownership is uncorrelated with slot indices).  HOST int32 scalars —
+# see the ops.voxel_map._P1 note on device-scalar multiplies.
+_B1 = np.int32(73856093)
+_B2 = np.int32(19349669)
+_B3 = np.int32(83492791)
 
-def shard_of(coords: jnp.ndarray, n_shards: int) -> jnp.ndarray:
-    """Owning shard of a voxel: high bits of the spatial hash (the low bits
-    index within the shard's table)."""
-    # int32 wraparound arithmetic with host-scalar constants, bit-identical
-    # to the uint32 modular hash (an integer multiply by a closed-over
-    # device scalar is pathological on this TPU backend — see
-    # ops.voxel_map._P1 note).
-    c = coords
-    h = (c[..., 0] * np.int32(73856093) + c[..., 1] * np.int32(19349669)
-         + c[..., 2] * np.int32(83492791))
-    # use an independent bit mix for the shard id so shard routing is not
-    # correlated with the in-shard slot index
+
+def shard_of(coords: jnp.ndarray, n_shards: int,
+             block_bits: int = 4) -> jnp.ndarray:
+    """Owning shard of a voxel: hash of its spatial BLOCK coordinate
+    (voxel >> block_bits, arithmetic shift = floor division).  All
+    voxels of a block share an owner, so a bounded voxel neighborhood
+    touches few owners — the locality the kNN/insert routing needs."""
+    b = jnp.right_shift(coords, block_bits)
+    h = b[..., 0] * _B1 + b[..., 1] * _B2 + b[..., 2] * _B3
     h2 = (h ^ jax.lax.shift_right_logical(h, 16)) * np.int32(0x45D9F3B)
-    # logical >>8 of the 32-bit pattern is non-negative (< 2^24)
-    return jax.lax.shift_right_logical(h2, 8) % n_shards
-
-
-def _sharded_knn(local_map: vm.VoxelMap, queries: jnp.ndarray, *,
-                 voxel_size: float, max_neighbors: int, max_probe: int,
-                 nb_voxels: int, threshold_capacity) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """kNN across all shards: local search + all_gather + top-k merge."""
-    nb_l, ok_l, d_l = vm.knn(local_map, queries, voxel_size=voxel_size,
-                             max_neighbors=max_neighbors, max_probe=max_probe,
-                             nb_voxels=nb_voxels,
-                             threshold_capacity=threshold_capacity)
-    # (n, Q, k, ...) gathered candidate sets
-    nb_all = jax.lax.all_gather(nb_l, MAP_AXIS)
-    ok_all = jax.lax.all_gather(ok_l, MAP_AXIS)
-    d_all = jax.lax.all_gather(d_l, MAP_AXIS)
-    n, q, k, _ = nb_all.shape
-    nb_all = nb_all.transpose(1, 0, 2, 3).reshape(q, n * k, 3)
-    ok_all = ok_all.transpose(1, 0, 2).reshape(q, n * k)
-    d_all = d_all.transpose(1, 0, 2).reshape(q, n * k)
-    d_all = jnp.where(ok_all, d_all, jnp.inf)
-    neg, idx = jax.lax.top_k(-d_all, max_neighbors)
-    nb = jnp.take_along_axis(nb_all, idx[..., None], axis=1)
-    ok = jnp.take_along_axis(ok_all, idx, axis=1)
-    dist = jnp.where(ok, -neg, 0.0)
-    return nb, ok, dist
-
-
-def _sharded_associate(local_map, world, keypts_valid, location,
-                       threshold_capacity, *, icp, max_probe, nb_voxels,
-                       n_shards):
-    """Distributed association: kNN merged across shards, then each shard
-    fits plane normals (PCA) for its keypoint slice.  Returns the
-    shard-sliced association tuple consumed by `_blocks_from_assoc`."""
-    nk = world.shape[0]
-    me = jax.lax.axis_index(MAP_AXIS)
-    neighbors, nb_ok, _ = _sharded_knn(
-        local_map, world, voxel_size=icp.size_voxel_map,
-        max_neighbors=icp.max_number_neighbors, max_probe=max_probe,
-        nb_voxels=nb_voxels, threshold_capacity=threshold_capacity)
-    qs = nk // n_shards
-    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, me * qs, qs, axis=0)
-    nb_s, ok_s = sl(neighbors), sl(nb_ok)
-    loc_s, val_s = sl(location), sl(keypts_valid)
-    n_found = jnp.sum(ok_s, axis=1).astype(jnp.int32)
-    normal0, a2d, _ = nb_ops.neighborhood_distribution(nb_s, n_found)
-    return normal0, a2d, nb_s[:, 0, :], n_found, loc_s, val_s
-
-
-def _blocks_from_assoc(assoc, q, t, last_trans, *, icp, n_shards):
-    """Per-iteration normal-equation blocks from a fixed association;
-    psum yields the global H^T H / H^T h (Schur-style reduction)."""
-    normal0, a2d, closest, n_found, loc_s, val_s = assoc
-    world_s = lie.quat_rotate(
-        jnp.broadcast_to(q, (loc_s.shape[0], 4)), loc_s) + t
-    lam_sum = abs(icp.weight_alpha) + abs(icp.weight_neighborhood)
-    h_x, h, good = lio_mod._plane_rows_from_assoc(
-        normal0, a2d, closest, n_found, world_s, loc_s,
-        lie.quat_to_rot(q), last_trans, val_s,
-        lam_w=abs(icp.weight_alpha) / lam_sum,
-        lam_nb=abs(icp.weight_neighborhood) / lam_sum,
-        power_planarity=icp.power_planarity,
-        max_dist=icp.max_dist_to_plane_icp,
-        min_neighbors=icp.min_number_neighbors)
-    if icp.max_num_residuals > 0:
-        # GLOBAL keypoint-order prefix cap (optimize.cpp:107): shard slices
-        # are contiguous in keypoint order, so the global prefix rank of a
-        # row is (sum of good counts on lower-ranked shards) + local
-        # prefix; one scalar all_gather recovers the offsets.  Bit-matches
-        # the single-chip cap for any shard count.
-        prefix = jnp.cumsum(good.astype(jnp.int32))
-        totals = jax.lax.all_gather(prefix[-1], MAP_AXIS)       # (n,)
-        me = jax.lax.axis_index(MAP_AXIS)
-        offset = jnp.sum(jnp.where(
-            jnp.arange(n_shards, dtype=jnp.int32) < me, totals, 0))
-        good = good & (offset + prefix <= icp.max_num_residuals)
-        h_x = jnp.where(good[:, None], h_x, 0.0)
-        h = jnp.where(good, h, 0.0)
-    hth = jax.lax.psum(h_x.T @ h_x, MAP_AXIS)
-    hth_h = jax.lax.psum(h_x.T @ h, MAP_AXIS)
-    num = jax.lax.psum(jnp.sum(good).astype(jnp.int32), MAP_AXIS)
-    return hth, hth_h, num
-
-
-def _sharded_iekf(state, local_map, keypts_raw, keypts_valid, last_trans,
-                  r_il, t_il, threshold_capacity, *, icp, max_probe,
-                  nb_voxels, max_iters, laser_point_cov, n_shards,
-                  cache_association=False):
-    pred = state
-    nk = keypts_raw.shape[0]
-    location = keypts_raw @ r_il.T + t_il
-
-    if cache_association:
-        world0 = lie.quat_rotate(
-            jnp.broadcast_to(state.q, (nk, 4)), location) + state.p
-        assoc0 = _sharded_associate(
-            local_map, world0, keypts_valid, location, threshold_capacity,
-            icp=icp, max_probe=max_probe, nb_voxels=nb_voxels,
-            n_shards=n_shards)
-
-    def blocks(s):
-        if cache_association:
-            assoc = assoc0
-        else:
-            world = lie.quat_rotate(
-                jnp.broadcast_to(s.q, (nk, 4)), location) + s.p
-            assoc = _sharded_associate(
-                local_map, world, keypts_valid, location,
-                threshold_capacity, icp=icp, max_probe=max_probe,
-                nb_voxels=nb_voxels, n_shards=n_shards)
-        return _blocks_from_assoc(assoc, s.q, s.p, last_trans, icp=icp,
-                                  n_shards=n_shards)
-
-    def body(carry):
-        s, it, _conv, _ok, _n, cov_final = carry
-        hth, hth_h, num = blocks(s)
-        enough = num >= icp.min_number_neighbors
-
-        d_x_cur, d_so3, so3_dg, b_x_pred = lio_mod._error_vs_prediction(s, pred)
-        j_old = lio_mod._reset_jacobian(d_so3, so3_dg, b_x_pred)
-        d_x_new = j_old @ d_x_cur
-        cov = j_old @ state.cov @ j_old.T
-
-        temp = jnp.linalg.inv(cov / laser_point_cov)
-        temp = temp.at[0:6, 0:6].add(hth)
-        temp_inv = jnp.linalg.inv(temp)
-        k_h = temp_inv[:, 0:6] @ hth_h
-        k_x = jnp.zeros((17, 17), cov.dtype).at[:, 0:6].set(
-            temp_inv[:, 0:6] @ hth)
-        d_x = -k_h + (k_x - jnp.eye(17, dtype=cov.dtype)) @ d_x_new
-
-        diverged = (jnp.linalg.norm(d_x[0:3]) > 100.0) | (
-            lie.angular_distance_deg(d_x[3:6]) > 100.0)
-        apply = enough & ~diverged
-        g_before = s.g
-        s_new = eskf_mod.observe(s, jnp.where(apply, d_x, 0.0))
-        converged = ((jnp.linalg.norm(d_x[0:3]) < icp.threshold_translation_norm)
-                     & (lie.angular_distance_deg(d_x[3:6])
-                        < icp.threshold_orientation_norm) & apply)
-        b_x_before = lie.s2_bx(g_before)
-        j_new = lio_mod._reset_jacobian(d_x[3:6], b_x_before @ d_x[15:17],
-                                        b_x_before)
-        cov_final_new = j_new @ (cov - k_x @ cov) @ j_new.T
-        return (s_new, it + 1, converged, enough, num,
-                jnp.where(apply, cov_final_new, cov_final))
-
-    def cond(carry):
-        _s, it, conv, ok, _n, _cf = carry
-        return (it < max_iters + 1) & ~conv & ok
-
-    init = (state, jnp.int32(0), jnp.asarray(False), jnp.asarray(True),
-            jnp.int32(0), state.cov)
-    s_out, iters, _conv, ok, n_res, cov_final = jax.lax.while_loop(
-        cond, body, init)
-    s_out = s_out._replace(cov=jnp.where(ok, cov_final, state.cov))
-    s_out = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(ok, new, old), s_out, state)
-    return s_out, lio_mod.IekfSummary(success=ok, num_residuals=n_res,
-                                      iterations=iters)
+    return jax.lax.shift_right_logical(h2, 8) % np.int32(n_shards)
 
 
 class ShardedLioEngine:
-    """Per-sweep LIO step with the map sharded over `mesh` (1-D)."""
+    """Per-sweep LIO step with sweep + map sharded over `mesh` (1-D)."""
 
-    def __init__(self, cfg: LivoConfig, mesh: Mesh, dtype=jnp.float32):
+    def __init__(self, cfg: LivoConfig, mesh: Mesh, dtype=jnp.float32,
+                 budget_override: dict = None):
+        """`budget_override` force-sets any of the static routing budgets
+        (Ns, B2, F_seg, B3, K_seg, B4, K4, B5, W_ins, local_capacity) —
+        used by scripts/scaling_bench.py to reproduce the exact n-shard
+        per-shard program shapes on a 1-device mesh (collectives become
+        identities there), isolating per-shard compute from collective
+        emulation."""
         self.cfg = cfg
         self.mesh = mesh
         self.n_shards = mesh.devices.size
         self.dtype = dtype
         sh = cfg.shapes
-        assert sh.map_capacity % self.n_shards == 0
-        assert sh.max_keypoints % self.n_shards == 0
-        self.local_capacity = sh.map_capacity // self.n_shards
-        # HOST numpy, built without touching the device: closed over by
-        # the jitted step — a closed-over device array forces a
+        n = self.n_shards
+        assert sh.map_capacity % n == 0
+        assert sh.max_sweep_points % n == 0
+        self.block_bits = sh.map_block_bits
+        self.halo = sh.map_halo_voxels
+        assert (1 << self.block_bits) >= 2 * self.halo + 1, \
+            "block side must cover the halo corner rule"
+        # Halo copies ~double occupancy; give each shard 2x the even
+        # split so the probe-load stays comparable to single-chip.
+        self.local_capacity = max(2 * sh.map_capacity // n, 1 << 10)
+
+        # ---- static routing budgets (see module docstring) -----------
+        rup = routing.rup
+        slack = float(sh.shard_route_slack)
+        self.Ns = sh.max_sweep_points // n
+        self.B2 = rup(min(self.Ns, self.Ns / n * slack))
+        F = sh.max_frame_points
+        self.F_seg = rup(min(F, F / n * max(2.0, slack / 2)))
+        self.B3 = rup(min(self.F_seg, self.F_seg / n * slack))
+        Q = sh.max_keypoints
+        self.K_seg = rup(min(Q, Q / n * max(2.0, slack / 2)))
+        self.B4 = rup(min(self.K_seg, Q / n * slack))
+        self.K4 = rup(min(Q, Q / n * slack))
+        self.B5 = rup(min(self.F_seg, self.F_seg * 2 * slack / n))
+        self.W_ins = rup(min(2 * F, 2 * F * max(2.0, slack / 2) / n))
+        for k, v in (budget_override or {}).items():
+            assert hasattr(self, k), k
+            setattr(self, k, int(v))
+
+        # HOST numpy constants (a closed-over device array forces a
         # pathological D2H constant fetch at lowering time on this TPU
-        # backend (see models.odometry.LioEngine.__init__).
+        # backend — see models.odometry.LioEngine.__init__).
         np_dtype = np.dtype(dtype)
         self.noise = eskf_mod.noise_diag_np(
             cfg.imu_options.acc_cov, cfg.imu_options.gyr_cov,
             cfg.imu_options.b_acc_cov, cfg.imu_options.b_gyr_cov, np_dtype)
         self.r_il = np.asarray(cfg.extrinsics.R_imu_lidar(), np_dtype)
         self.t_il = np.asarray(cfg.extrinsics.t_imu_lidar(), np_dtype)
+        # the 8 halo corner offsets (+-halo per dim) in voxel units
+        h = self.halo
+        self.corner_offs = np.array(
+            [[sx, sy, sz] for sx in (-h, h) for sy in (-h, h)
+             for sz in (-h, h)], np.int32)
 
         map_spec = vm.VoxelMap(keys=P(MAP_AXIS), sig=P(MAP_AXIS),
                                points=P(MAP_AXIS),
@@ -240,7 +151,7 @@ class ShardedLioEngine:
             state=state_spec, voxel_map=map_spec,
             summary=lio_mod.IekfSummary(P(), P(), P()),
             frame_pts_world=P(), frame_valid=P(), inserted=P(),
-            record=P())
+            record=P(), route_overflow=P())
 
         self._steps = {}
         for phase in ("init", "steady"):
@@ -249,34 +160,66 @@ class ShardedLioEngine:
                            in_specs=(state_spec, map_spec, rep),
                            out_specs=out_spec, check_vma=False)
             self._steps[phase] = jax.jit(sm, donate_argnums=(1,))
+        self._map_size = None
 
     def init_state(self) -> EskfState:
         return eskf_mod.init_state(self.cfg.gravity_acc, self.dtype)
 
     def make_map(self) -> vm.VoxelMap:
-        """Sharded map: n_shards independent sub-tables, leading dim
-        concatenated and laid out with one shard per device."""
+        """Sharded map: n_shards independent block-owner sub-tables
+        (each 2x the even capacity split — halo headroom), leading dim
+        concatenated with one shard per device."""
         sh = self.cfg.shapes
-        m = vm.make_map(sh.map_capacity, sh.map_voxel_points, self.dtype)
+        m = vm.make_map(self.local_capacity * self.n_shards,
+                        sh.map_voxel_points, self.dtype)
         shard = NamedSharding(self.mesh, P(MAP_AXIS))
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, shard), m)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), m)
 
+    def map_size(self, vmap: vm.VoxelMap) -> jnp.ndarray:
+        """Owned-voxel point count (halo copies excluded) — matches the
+        single-chip vm.map_size exactly."""
+        if self._map_size is None:
+            n, bits = self.n_shards, self.block_bits
+
+            def _ms(m):
+                me = jax.lax.axis_index(MAP_AXIS)
+                owned = (m.keys[:, 0] != vm.EMPTY) & \
+                    (shard_of(m.keys, n, bits) == me)
+                return jax.lax.psum(
+                    jnp.sum(jnp.where(owned, m.counts, 0)), MAP_AXIS)
+
+            map_spec = vm.VoxelMap(keys=P(MAP_AXIS), sig=P(MAP_AXIS),
+                                   points=P(MAP_AXIS), counts=P(MAP_AXIS),
+                                   point_ids=P(MAP_AXIS))
+            self._map_size = jax.jit(shard_map(
+                _ms, mesh=self.mesh, in_specs=(map_spec,), out_specs=P(),
+                check_vma=False))
+        return self._map_size(vmap)
+
+    # ------------------------------------------------------------------
     def _sweep_core(self, state: EskfState, local_map: vm.VoxelMap,
                     sweep: SweepInput, *, phase: str) -> SweepOutput:
         cfg = self.cfg
         icp = cfg.icp
         odo = cfg.odometry_options
         sh = cfg.shapes
+        n = self.n_shards
+        me = jax.lax.axis_index(MAP_AXIS)
         is_init = phase == "init"
         sample_voxel = (odo.init_sample_voxel_size if is_init
                         else odo.sample_voxel_size)
         sub_voxel = odo.init_voxel_size if is_init else odo.voxel_size
         nb_voxels = 2 if is_init else icp.voxel_neighborhood
-        max_iters = max(15, icp.num_iters_icp) if is_init else icp.num_iters_icp
+        assert nb_voxels <= self.halo, \
+            "map_halo_voxels must cover nb_voxels_visited"
+        max_iters = (max(15, icp.num_iters_icp) if is_init
+                     else icp.num_iters_icp)
         last_trans = state.p
+        I32_MAX = routing.I32_MAX
+        overflow = jnp.int32(0)
 
-        # Replicated front half (identical on every device).
+        # 1. Replicated IMU scan (inherently sequential, ~50 samples —
+        #    the ONLY replicated compute besides the 17x17 solves).
         pre = state
         state_pred, scan_states = eskf_mod.predict_sweep(
             state, self.noise, sweep.imu_t, sweep.imu_dt, sweep.imu_acc,
@@ -291,61 +234,278 @@ class ShardedLioEngine:
             q=_prepend(pre.q, scan_states.q),
             v=_prepend(pre.v, scan_states.v),
             valid=_prepend(jnp.asarray(True), scan_states.valid))
-        # Motion compensation honors the configured profile exactly like
-        # the single-chip engine (odometry._sweep_core).
-        from sr_livo_tpu.config import (MOTION_COMP_CONSTANT_VELOCITY,
-                                        MOTION_COMP_IMU)
+
+        # 2. De-skew on my N/n index slice (per-point, no comm).
+        Ns = self.Ns
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, me * Ns, Ns, axis=0)
+        raw_s, trel_s, pval_s = (sl(sweep.raw_pts), sl(sweep.t_rel),
+                                 sl(sweep.pt_valid))
+        gidx_s = me * np.int32(Ns) + jnp.arange(Ns, dtype=jnp.int32)
         if odo.motion_compensation == MOTION_COMP_IMU:
             imu_pts = frame_ops.undistort_imu(
-                sweep.raw_pts, sweep.t_rel, imu_states, self.r_il, self.t_il)
+                raw_s, trel_s, imu_states, self.r_il, self.t_il)
         elif odo.motion_compensation == MOTION_COMP_CONSTANT_VELOCITY:
             imu_pts = frame_ops.undistort_constant(
-                sweep.raw_pts, sweep.t_rel, imu_states, self.r_il, self.t_il)
+                raw_s, trel_s, imu_states, self.r_il, self.t_il)
         else:
             imu_pts = lie.quat_rotate(
-                jnp.broadcast_to(state_pred.q, (sweep.raw_pts.shape[0], 4)),
-                sweep.raw_pts @ self.r_il.T + self.t_il) + state_pred.p
-        raw_deskew = frame_ops.to_end_frame(imu_pts, imu_states,
-                                            self.r_il, self.t_il)
-        frame_raw, frame_valid, _ = frame_ops.voxel_subsample(
-            raw_deskew, sweep.pt_valid, sub_voxel, sh.max_frame_points)
-        key_raw, key_valid, _ = frame_ops.voxel_subsample(
-            frame_raw, frame_valid, sample_voxel, sh.max_keypoints)
+                jnp.broadcast_to(state_pred.q, (Ns, 4)),
+                raw_s @ self.r_il.T + self.t_il) + state_pred.p
+        deskew_s = frame_ops.to_end_frame(imu_pts, imu_states,
+                                          self.r_il, self.t_il)
 
-        # Distributed ESIKF.
-        state_upd, summary = _sharded_iekf(
-            state_pred, local_map, key_raw, key_valid, last_trans,
-            self.r_il, self.t_il, sweep.threshold_capacity,
-            icp=icp, max_probe=sh.map_max_probe, nb_voxels=nb_voxels,
+        # 3. Frame voxel subsample — exact distributed dedup.
+        #    (a) local pre-dedup on the slice (winner = min gidx per hash)
+        fh_s = jnp.where(pval_s, frame_ops._voxel_key(deskew_s, sub_voxel),
+                         I32_MAX)
+        o1, win1 = routing.lex_sort_dedup(fh_s, gidx_s, pval_s)
+        rows1 = routing.pack_cols(deskew_s[o1], fh_s[o1], gidx_s[o1])
+        dest1 = routing.hash_range_owner(fh_s[o1], n)
+        #    (b) route winners to their hash-range owner
+        buf, bval, d = routing.pack_for_exchange(dest1, win1, rows1, n,
+                                                 self.B2)
+        overflow += d
+        rcv, rval = routing.exchange(buf, bval, MAP_AXIS)
+        #    (c) exact dedup + order within my contiguous hash range
+        fh_r = routing.unpack_col_i32(rcv, 3)
+        gidx_r = routing.unpack_col_i32(rcv, 4)
+        o2, win2 = routing.lex_sort_dedup(fh_r, gidx_r, rval)
+        seg_rows, seg_val, d = routing.compact(rcv[o2], win2, self.F_seg)
+        overflow += d
+        frame_pt_s = seg_rows[:, 0:3]
+        frame_fh_s = routing.unpack_col_i32(seg_rows, 3)
+        #    (d) global segment offsets -> exact single-chip row ranks
+        k_me = jnp.sum(win2).astype(jnp.int32)
+        counts = jax.lax.all_gather(k_me, MAP_AXIS)
+        offset = jnp.sum(jnp.where(
+            jnp.arange(n, dtype=jnp.int32) < me, counts, 0))
+        r_f = offset + jnp.arange(self.F_seg, dtype=jnp.int32)
+        seg_val = seg_val & (r_f < sh.max_frame_points)   # global max_out
+
+        # 4. Keypoint grid sample — same machinery at the sample voxel.
+        #    Winner per cell = min frame rank == min frame hash (frame
+        #    rows carry distinct hashes), so fh is the tiebreak key.
+        kp_h = jnp.where(seg_val,
+                         frame_ops._voxel_key(frame_pt_s, sample_voxel),
+                         I32_MAX)
+        rows2 = routing.pack_cols(frame_pt_s, kp_h, frame_fh_s)
+        dest2 = routing.hash_range_owner(kp_h, n)
+        buf, bval, d = routing.pack_for_exchange(dest2, seg_val, rows2, n,
+                                                 self.B3)
+        overflow += d
+        rcv2, rval2 = routing.exchange(buf, bval, MAP_AXIS)
+        kph_r = routing.unpack_col_i32(rcv2, 3)
+        fh_r2 = routing.unpack_col_i32(rcv2, 4)
+        o3, win3 = routing.lex_sort_dedup(kph_r, fh_r2, rval2)
+        kseg_rows, kseg_val, d = routing.compact(rcv2[o3], win3, self.K_seg)
+        overflow += d
+        kq_me = jnp.sum(win3).astype(jnp.int32)
+        kcounts = jax.lax.all_gather(kq_me, MAP_AXIS)
+        koffset = jnp.sum(jnp.where(
+            jnp.arange(n, dtype=jnp.int32) < me, kcounts, 0))
+        r_k = koffset + jnp.arange(self.K_seg, dtype=jnp.int32)
+        kseg_val = kseg_val & (r_k < sh.max_keypoints)
+        key_pt_s = kseg_rows[:, 0:3]      # end-frame LiDAR coords
+
+        # 5. Route keypoints to their center-block owner (one dest each;
+        #    the halo makes the whole neighborhood local there).
+        loc_seg = key_pt_s @ self.r_il.T + self.t_il
+        world0_seg = lie.quat_rotate(
+            jnp.broadcast_to(state_pred.q, (self.K_seg, 4)),
+            loc_seg) + state_pred.p
+        v0 = vm.voxel_coords(world0_seg, icp.size_voxel_map)
+        dest3 = shard_of(v0, n, self.block_bits)
+        rows3 = routing.pack_cols(key_pt_s, r_k)
+        buf, bval, d = routing.pack_for_exchange(dest3, kseg_val, rows3, n,
+                                                 self.B4)
+        overflow += d
+        rcv3, rval3 = routing.exchange(buf, bval, MAP_AXIS)
+        qrows, qval, d = routing.compact(rcv3, rval3, self.K4)
+        overflow += d
+        key_q = qrows[:, 0:3]
+        rank_q = jnp.where(qval, routing.unpack_col_i32(qrows, 3), I32_MAX)
+
+        # 6. Distributed ESIKF: local rows, one packed psum per iteration.
+        state_upd, summary = self._iekf(
+            state_pred, local_map, key_q, qval, rank_q, last_trans,
+            sweep.threshold_capacity, icp=icp, nb_voxels=nb_voxels,
             max_iters=max_iters, laser_point_cov=cfg.laser_point_cov,
-            n_shards=self.n_shards,
+            max_probe=sh.map_max_probe,
             cache_association=cfg.cache_association)
         state_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(sweep.do_optimize, a, b),
             state_upd, state_pred)
         success = jnp.where(sweep.do_optimize, summary.success, True)
 
-        # Sharded insertion: each device stores only its owned voxels.
-        frame_world = frame_ops.transform_to_world(
-            frame_raw, state_new.q, state_new.p, self.r_il, self.t_il)
-        me = jax.lax.axis_index(MAP_AXIS)
-        coords = vm.voxel_coords(frame_world, icp.size_voxel_map)
-        mine = shard_of(coords, self.n_shards) == me
-        local_new, inserted_l = vm.insert(
-            local_map, frame_world, frame_valid & success & mine,
-            icp.size_voxel_map, odo.min_distance_points, sh.map_max_probe,
-            budget=sh.max_insert_points)
-        inserted = jax.lax.psum(inserted_l.astype(jnp.int32), MAP_AXIS) > 0
+        # 7. Insert my frame segment, routed to the <=8 distinct
+        #    corner-block owners (every shard storing the voxel — owner
+        #    or halo — receives the same candidate set, so replicas stay
+        #    identical and per-voxel outcomes match the single chip).
+        frame_world_s = frame_ops.transform_to_world(
+            frame_pt_s, state_new.q, state_new.p, self.r_il, self.t_il)
+        ins_ok = seg_val & success
+        vi = vm.voxel_coords(frame_world_s, icp.size_voxel_map)
+        cv = vi[:, None, :] + jnp.asarray(self.corner_offs)[None, :, :]
+        owners = shard_of(cv, n, self.block_bits)            # (F_seg, 8)
+        eq = owners[:, :, None] == owners[:, None, :]
+        dup = jnp.any(eq & np.tril(np.ones((8, 8), bool), -1)[None],
+                      axis=-1)
+        copy_ok = ins_ok[:, None] & ~dup
+        rows4 = routing.pack_cols(frame_world_s, r_f)
+        rows4_flat = jnp.repeat(rows4, 8, axis=0)
+        buf, bval, d = routing.pack_for_exchange(
+            owners.reshape(-1), copy_ok.reshape(-1), rows4_flat, n, self.B5)
+        overflow += d
+        rcv4, rval4 = routing.exchange(buf, bval, MAP_AXIS)
+        # deterministic per-voxel order: sort received by global frame
+        # rank (the single-chip batch order), invalid rows last
+        rf_r = jnp.where(rval4, routing.unpack_col_i32(rcv4, 3), I32_MAX)
+        o4 = jnp.argsort(rf_r, stable=True)
+        ins_rows = rcv4[o4][:self.W_ins]
+        ins_val = rval4[o4][:self.W_ins]
+        overflow += (jnp.sum(rval4).astype(jnp.int32)
+                     - jnp.sum(ins_val).astype(jnp.int32))
+        ins_rf = routing.unpack_col_i32(ins_rows, 3)
+        local_new, accepted = vm.insert(
+            local_map, ins_rows[:, 0:3], ins_val, icp.size_voxel_map,
+            odo.min_distance_points, sh.map_max_probe)
+
+        # 8. Re-assemble replicated outputs in the exact single-chip
+        #    layout: scatter segments by global rank + psum.
+        F = sh.max_frame_points
+        tgt = jnp.where(seg_val, r_f, F)
+        frame_world_g = jax.lax.psum(
+            jnp.zeros((F, 3), frame_world_s.dtype).at[tgt].set(
+                frame_world_s, mode="drop", unique_indices=True), MAP_AXIS)
+        frame_valid_g = jax.lax.psum(
+            jnp.zeros((F,), jnp.float32).at[tgt].set(
+                1.0, mode="drop", unique_indices=True), MAP_AXIS) > 0.5
+        acc_tgt = jnp.where(ins_val & accepted, ins_rf, F)
+        inserted_g = jax.lax.psum(
+            jnp.zeros((F,), jnp.float32).at[acc_tgt].set(
+                1.0, mode="drop", unique_indices=True), MAP_AXIS) > 0.5
+        overflow = jax.lax.psum(overflow, MAP_AXIS)
 
         summary = summary._replace(success=success)
-        from sr_livo_tpu.models.odometry import pack_record
         return SweepOutput(state=state_new, voxel_map=local_new,
                            summary=summary,
-                           frame_pts_world=frame_world,
-                           frame_valid=frame_valid, inserted=inserted,
-                           record=pack_record(state_new, summary))
+                           frame_pts_world=frame_world_g,
+                           frame_valid=frame_valid_g, inserted=inserted_g,
+                           record=pack_record(state_new, summary),
+                           route_overflow=overflow)
+
+    # ------------------------------------------------------------------
+    def _iekf(self, state, local_map, key_q, qval, rank_q, last_trans,
+              threshold_capacity, *, icp, nb_voxels, max_iters,
+              laser_point_cov, max_probe, cache_association):
+        pred = state
+        n = self.n_shards
+        loc_q = key_q @ self.r_il.T + self.t_il       # IMU frame
+        lam_sum = abs(icp.weight_alpha) + abs(icp.weight_neighborhood)
+        lam_w = abs(icp.weight_alpha) / lam_sum
+        lam_nb = abs(icp.weight_neighborhood) / lam_sum
+        cap = icp.max_num_residuals
+        if cap > 0:
+            # global keypoint ranks, gathered once per sweep
+            ranks_all = jax.lax.all_gather(rank_q, MAP_AXIS).reshape(-1)
+
+        def _assoc(s):
+            world = lie.quat_rotate(
+                jnp.broadcast_to(s.q, (loc_q.shape[0], 4)), loc_q) + s.p
+            neighbors, nb_ok, _ = vm.knn(
+                local_map, world, voxel_size=icp.size_voxel_map,
+                max_neighbors=icp.max_number_neighbors,
+                max_probe=max_probe, nb_voxels=nb_voxels,
+                threshold_capacity=threshold_capacity)
+            n_found = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
+            normal0, a2d, _ = nb_ops.neighborhood_distribution(
+                neighbors, n_found)
+            return normal0, a2d, neighbors[:, 0, :], n_found
+
+        if cache_association:
+            assoc0 = _assoc(state)
+
+        def blocks(s):
+            normal0, a2d, closest, n_found = (
+                assoc0 if cache_association else _assoc(s))
+            world = lie.quat_rotate(
+                jnp.broadcast_to(s.q, (loc_q.shape[0], 4)), loc_q) + s.p
+            h_x, h, good = lio_mod._plane_rows_from_assoc(
+                normal0, a2d, closest, n_found, world, loc_q,
+                lie.quat_to_rot(s.q), last_trans, qval,
+                lam_w=lam_w, lam_nb=lam_nb,
+                power_planarity=icp.power_planarity,
+                max_dist=icp.max_dist_to_plane_icp,
+                min_neighbors=icp.min_number_neighbors)
+            if cap > 0:
+                # exact global keypoint-order prefix (optimize.cpp:107):
+                # one bool all_gather; prefix_i = # good with lower rank
+                good_all = jax.lax.all_gather(good, MAP_AXIS).reshape(-1)
+                lower = (ranks_all[None, :] < rank_q[:, None]) & \
+                    good_all[None, :]
+                prefix = jnp.sum(lower.astype(jnp.int32), axis=-1)
+                good = good & (prefix + 1 <= cap)
+                h_x = jnp.where(good[:, None], h_x, 0.0)
+                h = jnp.where(good, h, 0.0)
+            # ONE packed psum: [H^T H (36) | H^T h (6) | num (1)]
+            packed = jnp.concatenate([
+                (h_x.T @ h_x).ravel(), h_x.T @ h,
+                jnp.sum(good).astype(h.dtype)[None]])
+            packed = jax.lax.psum(packed, MAP_AXIS)
+            return (packed[:36].reshape(6, 6), packed[36:42],
+                    packed[42].astype(jnp.int32))
+
+        def body(carry):
+            s, it, _conv, _ok, _n, cov_final = carry
+            hth, hth_h, num = blocks(s)
+            enough = num >= icp.min_number_neighbors
+
+            d_x_cur, d_so3, so3_dg, b_x_pred = \
+                lio_mod._error_vs_prediction(s, pred)
+            j_old = lio_mod._reset_jacobian(d_so3, so3_dg, b_x_pred)
+            d_x_new = j_old @ d_x_cur
+            cov = j_old @ state.cov @ j_old.T
+
+            temp = jnp.linalg.inv(cov / laser_point_cov)
+            temp = temp.at[0:6, 0:6].add(hth)
+            temp_inv = jnp.linalg.inv(temp)
+            k_h = temp_inv[:, 0:6] @ hth_h
+            k_x = jnp.zeros((17, 17), cov.dtype).at[:, 0:6].set(
+                temp_inv[:, 0:6] @ hth)
+            d_x = -k_h + (k_x - jnp.eye(17, dtype=cov.dtype)) @ d_x_new
+
+            diverged = (jnp.linalg.norm(d_x[0:3]) > 100.0) | (
+                lie.angular_distance_deg(d_x[3:6]) > 100.0)
+            apply = enough & ~diverged
+            g_before = s.g
+            s_new = eskf_mod.observe(s, jnp.where(apply, d_x, 0.0))
+            converged = ((jnp.linalg.norm(d_x[0:3])
+                          < icp.threshold_translation_norm)
+                         & (lie.angular_distance_deg(d_x[3:6])
+                            < icp.threshold_orientation_norm) & apply)
+            b_x_before = lie.s2_bx(g_before)
+            j_new = lio_mod._reset_jacobian(
+                d_x[3:6], b_x_before @ d_x[15:17], b_x_before)
+            cov_final_new = j_new @ (cov - k_x @ cov) @ j_new.T
+            return (s_new, it + 1, converged, enough, num,
+                    jnp.where(apply, cov_final_new, cov_final))
+
+        def cond(carry):
+            _s, it, conv, ok, _n, _cf = carry
+            return (it < max_iters + 1) & ~conv & ok
+
+        init = (state, jnp.int32(0), jnp.asarray(False), jnp.asarray(True),
+                jnp.int32(0), state.cov)
+        s_out, iters, _conv, ok, n_res, cov_final = jax.lax.while_loop(
+            cond, body, init)
+        s_out = s_out._replace(cov=jnp.where(ok, cov_final, state.cov))
+        s_out = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), s_out, state)
+        return s_out, lio_mod.IekfSummary(success=ok, num_residuals=n_res,
+                                          iterations=iters)
 
     def step(self, state, voxel_map, sweep: SweepInput, frame_id: int):
-        phase = ("init" if frame_id < self.cfg.odometry_options.init_num_frames
+        phase = ("init"
+                 if frame_id < self.cfg.odometry_options.init_num_frames
                  else "steady")
         return self._steps[phase](state, voxel_map, sweep)

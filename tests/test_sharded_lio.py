@@ -97,8 +97,11 @@ def test_sharded_matches_single_device():
         s1, m1 = o1.state, o1.voxel_map
         s2, m2 = o2.state, o2.voxel_map
 
-        # identical stored point count (same routing-invariant dedup)
-        assert int(vm.map_size(m1)) == int(vm.map_size(m2)), fid
+        # no routing-budget overflow: the run is exact by construction
+        assert int(o2.route_overflow) == 0, fid
+        # identical OWNED point count (halo copies excluded by
+        # engine.map_size; single-chip map has no halos)
+        assert int(vm.map_size(m1)) == int(sharded.map_size(m2)), fid
         # trajectories agree to float tolerance
         assert np.allclose(o1.state.p, o2.state.p, atol=2e-3), (
             fid, np.asarray(o1.state.p), np.asarray(o2.state.p))
