@@ -1,17 +1,33 @@
-"""Accuracy gate: the real-dataset-shaped validation run (VERDICT r1 #2).
+"""Accuracy gate: the real-dataset-shaped validation run (VERDICT r2 #2/#3).
 
 Builds synthetic rosbags with the REAL calibrations of the reference
 dataset profiles (configs/r3live.yaml: Livox cone + 1280x1024 camera with
 its published distortion/extrinsics; configs/ntu.yaml: Ouster-16 @ 20 Hz
 + 752x480 camera), replays them end-to-end through `drivers.replay_bag`
-with the exact YAML profiles, and records ATE RMSE for:
+with the exact YAML profiles, and records ATE RMSE + vision engagement +
+registration health for:
 
-  * r3live profile x {cache_association on/off} x {wire_quantization on/off}
-  * ntu profile (default settings)
+  * r3live, 60 s, 10 Hz images x {cache_association, wire_quantization}
+  * ntu, 60 s, 10 Hz images
+  * r3live AGGRESSIVE motion (~5 m/s peak, ~2 rad/s yaw), 30 s
+  * r3live REVISIT loop trajectory with the MappingBackend attached
+    (windowed BA + loop closure + feedback_to_filter=True end-to-end)
+  * r3live with an image DROPOUT window forcing gap-fill sweeps
+    (getMeasurements gap-fill semantics, lioOptimization.cpp:707-740)
 
-Writes ACCURACY_r02.json at the repo root.  Pass --quick for a shorter
-sim (CI smoke); bags and rendered images are cached under
-.accuracy_cache/ so ablations reuse one render.
+Gate bounds (all checked; --strict exits 1 on violation):
+  ATE < 5 cm (standard), < 10 cm (aggressive/revisit);
+  registered/frames >= 0.95;  mean LK-survivor tracks >= 150 and
+  >= 30-survivor engagement on >= 90% of rendered frames
+  (the reference's operating point: <=300 tracks, 30-track gate,
+  imageProcessing.cpp:14, opticalFlowTracker.cpp:128);
+  cache-association ATE delta < 10% of the bound;
+  revisit: >= 1 verified loop closure fed back to the filter;
+  dropout: >= 1 gap-fill sweep and the ATE bound still holds.
+
+Writes ACCURACY_r03.json.  Pass --quick for a 12 s smoke run (relaxed
+track bounds — engagement needs map maturity); bags and rendered images
+are cached under .accuracy_cache/.
 
 Reference workflow being reproduced: roslaunch + rosbag play vs TUM GT
 (README.md:91-138); profile parameters lioOptimization.cpp:252-350.
@@ -32,6 +48,8 @@ sys.path.insert(0, ROOT)
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
+CACHE_TAG = "v4"          # bump when the simulator/world changes
+
 
 def _force_cpu():
     import jax
@@ -44,66 +62,116 @@ def _bag_writer():
     return rbw
 
 
-def _sim_traj():
-    """Gentler trajectory than the default (the real rigs move smoothly),
-    still with full 6-dof excitation."""
+def _world():
+    from sr_livo_tpu.runtime.synthetic import SyntheticWorld, make_room
+    return SyntheticWorld(make_room(half=8.0, height=3.0, boxes=6, seed=5,
+                                    clear_radius=4.0))
+
+
+def _traj(kind: str):
+    """Trajectory profiles.  All start still for IMU static init."""
     from sr_livo_tpu.runtime.synthetic import Trajectory
-    return Trajectory(amp=(1.6, 1.6, 0.2), freq=(0.22, 0.15, 0.35),
-                      yaw_amp=0.5, rp_amp=0.06, start_still=4.5)
+    if kind == "standard":
+        return Trajectory(amp=(1.6, 1.6, 0.2), freq=(0.22, 0.15, 0.35),
+                          yaw_amp=0.5, rp_amp=0.06, start_still=4.5)
+    if kind == "aggressive":
+        # ~4.8 m/s peak translation, ~2.2 rad/s peak yaw rate
+        return Trajectory(amp=(2.2, 2.2, 0.3), freq=(0.35, 0.28, 0.5),
+                          yaw_amp=1.0, yaw_freq=0.35, rp_amp=0.15,
+                          start_still=4.5)
+    if kind == "revisit":
+        # long-period Lissajous: returns near the start every ~20 s
+        return Trajectory(amp=(2.4, 1.2, 0.2), freq=(0.05, 0.1, 0.3),
+                          yaw_amp=0.8, yaw_freq=0.05, rp_amp=0.06,
+                          start_still=4.5)
+    raise ValueError(kind)
 
 
-def build_bag_r3live(cache: str, duration: float, image_rate: float) -> str:
-    """Livox-Avia-shaped bag with the r3live profile's camera calibration
-    (configs/r3live.yaml:26-39), images rendered DISTORTED at the
-    processed scale (image_scale 0.5 -> 512x640)."""
+R3_CALIB = dict(
+    intr_full=np.array([863.4241, 863.4171, 640.6808, 518.3392]),
+    dist=[-0.1080, 0.1050, -1.2872e-04, 5.7923e-05, -0.0222],
+    r_ic=np.array([-0.00113207, -0.0158688, 0.999873,
+                   -0.9999999, -0.000486594, -0.00113994,
+                   0.000504622, -0.999874, -0.0158682]).reshape(3, 3),
+    t_ic=np.array([0.050166, 0.0474116, -0.0312415]),
+    size=(512, 640),                  # 1024x1280 at image_scale 0.5
+    cam_time_offset=0.006)
+
+NTU_CALIB = dict(
+    intr_full=np.array([425.0259, 426.7976, 386.0152, 241.9130]),
+    dist=[-0.2881, 0.0746, 7.7845e-04, -2.2779e-04, 0.0],
+    r_ic=np.array([0.0218308, -0.0131205, 0.999675,
+                   0.999759, 0.00230088, -0.0218024,
+                   -0.00201407, 0.999912, 0.0131676]).reshape(3, 3),
+    t_ic=np.array([0.0555294, -0.124313, -0.0388531]),
+    size=(240, 376),                  # 480x752 at image_scale 0.5
+    cam_time_offset=0.004)
+
+
+def build_bag(tag: str, cache: str, *, duration: float, image_rate: float,
+              traj_kind: str, sensor: str, calib: dict, seed: int) -> str:
+    """Render + serialize one profile bag (cached on the full tag)."""
     from sr_livo_tpu.runtime import synthetic
 
-    tag = f"r3live_{duration:g}_{image_rate:g}_v3"
-    bag = os.path.join(cache, f"{tag}.bag")
-    gtf = os.path.join(cache, f"{tag}_gt.npz")
+    full = f"{tag}_{duration:g}_{image_rate:g}_{traj_kind}_{CACHE_TAG}"
+    bag = os.path.join(cache, f"{full}.bag")
+    gtf = os.path.join(cache, f"{full}_gt.npz")
     if os.path.exists(bag) and os.path.exists(gtf):
         return bag
 
-    intr_full = np.array([863.4241, 863.4171, 640.6808, 518.3392])
-    dist = [-0.1080, 0.1050, -1.2872e-04, 5.7923e-05, -0.0222]
-    r_ic = np.array([-0.00113207, -0.0158688, 0.999873,
-                     -0.9999999, -0.000486594, -0.00113994,
-                     0.000504622, -0.999874, -0.0158682]).reshape(3, 3)
-    t_ic = np.array([0.050166, 0.0474116, -0.0312415])
-    size = (512, 640)                       # 1024x1280 at image_scale 0.5
-    cam = tuple(intr_full * 0.5)
-
+    cam = tuple(calib["intr_full"] * 0.5)
     t0 = time.time()
-    sim = synthetic.simulate(
-        duration=duration, image_rate=image_rate, sweep_rate=10.0,
-        dirs_phase=synthetic.lidar_directions_livox(110, 76),
-        image_size=size, camera=cam, dist_coeffs=dist,
-        r_ic=r_ic, t_ic=t_ic, cam_time_offset=0.006,
-        seed=11, traj=_sim_traj())
-    print(f"[gate] r3live sim rendered in {time.time() - t0:.0f}s "
+    kw = dict(duration=duration, image_rate=image_rate,
+              image_size=calib["size"], camera=cam, dist_coeffs=calib["dist"],
+              r_ic=calib["r_ic"], t_ic=calib["t_ic"],
+              cam_time_offset=calib["cam_time_offset"],
+              seed=seed, traj=_traj(traj_kind), world=_world())
+    if sensor == "livox":
+        sim = synthetic.simulate(
+            sweep_rate=10.0,
+            dirs_phase=synthetic.lidar_directions_livox(110, 76), **kw)
+    else:
+        sim = synthetic.simulate(sweep_rate=20.0, n_azimuth=160, n_rings=16,
+                                 **kw)
+    print(f"[gate] {full} rendered in {time.time() - t0:.0f}s "
           f"({len(sim.images)} images)", file=sys.stderr)
 
     rbw = _bag_writer()
     w = rbw.BagWriter(bag)
+    imu_topic = "/livox/imu" if sensor == "livox" else "/imu/imu"
     for (t, acc, gyr) in sim.imu:
-        w.write_message("/livox/imu", "sensor_msgs/Imu", t,
+        w.write_message(imu_topic, "sensor_msgs/Imu", t,
                         rbw.ser_imu(t, acc, gyr))
-    rng = np.random.RandomState(3)
-    for chunk in sim.lidar_chunks:
-        if chunk.shape[0] == 0:
-            continue
-        stamp = float(chunk[0, 3])
-        off_ns = np.round((chunk[:, 3] - stamp) * 1e9).astype(np.uint32)
-        n = chunk.shape[0]
-        w.write_message(
-            "/livox/lidar", "livox_ros_driver/CustomMsg", stamp,
-            rbw.ser_livox_custom(stamp, chunk[:, :3].astype(np.float32),
-                                 np.zeros(n, np.uint8),
-                                 (np.arange(n) % 6).astype(np.uint8),
-                                 off_ns))
+    if sensor == "livox":
+        for chunk in sim.lidar_chunks:
+            if chunk.shape[0] == 0:
+                continue
+            stamp = float(chunk[0, 3])
+            off_ns = np.round((chunk[:, 3] - stamp) * 1e9).astype(np.uint32)
+            n = chunk.shape[0]
+            w.write_message(
+                "/livox/lidar", "livox_ros_driver/CustomMsg", stamp,
+                rbw.ser_livox_custom(stamp, chunk[:, :3].astype(np.float32),
+                                     np.zeros(n, np.uint8),
+                                     (np.arange(n) % 6).astype(np.uint8),
+                                     off_ns))
+        img_topic = "/camera/image_color"
+    else:
+        for chunk in sim.lidar_chunks:
+            if chunk.shape[0] == 0:
+                continue
+            stamp = float(chunk[0, 3])
+            t_ns = np.round((chunk[:, 3] - stamp) * 1e9).astype(np.uint32)
+            n = chunk.shape[0]
+            ring = (np.arange(n) % 16).astype(np.uint8)
+            w.write_message(
+                "/os1_cloud_node1/points", "sensor_msgs/PointCloud2", stamp,
+                rbw.ser_pointcloud2_ouster(
+                    stamp, chunk[:, :3].astype(np.float32), t_ns, ring))
+        img_topic = "/right/image_raw"
     for (t, img) in sim.images:
         u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
-        w.write_message("/camera/image_color", "sensor_msgs/Image", t,
+        w.write_message(img_topic, "sensor_msgs/Image", t,
                         rbw.ser_image_rgb8(t, u8))
     w.close()
     np.savez(gtf, gt_times=sim.gt_times, gt_pos=sim.gt_pos,
@@ -111,60 +179,28 @@ def build_bag_r3live(cache: str, duration: float, image_rate: float) -> str:
     return bag
 
 
-def build_bag_ntu(cache: str, duration: float, image_rate: float) -> str:
-    """Ouster-16 @ 20 Hz bag with the ntu profile's camera calibration
-    (configs/ntu.yaml:24-40), images at the processed scale (376x240)."""
-    from sr_livo_tpu.runtime import synthetic
-
-    tag = f"ntu_{duration:g}_{image_rate:g}_v3"
-    bag = os.path.join(cache, f"{tag}.bag")
-    gtf = os.path.join(cache, f"{tag}_gt.npz")
-    if os.path.exists(bag) and os.path.exists(gtf):
-        return bag
-
-    intr_full = np.array([425.0259, 426.7976, 386.0152, 241.9130])
-    dist = [-0.2881, 0.0746, 7.7845e-04, -2.2779e-04, 0.0]
-    r_ic = np.array([0.0218308, -0.0131205, 0.999675,
-                     0.999759, 0.00230088, -0.0218024,
-                     -0.00201407, 0.999912, 0.0131676]).reshape(3, 3)
-    t_ic = np.array([0.0555294, -0.124313, -0.0388531])
-    size = (240, 376)                      # 480x752 at image_scale 0.5
-    cam = tuple(intr_full * 0.5)
-
-    t0 = time.time()
-    sim = synthetic.simulate(
-        duration=duration, image_rate=image_rate, sweep_rate=20.0,
-        n_azimuth=160, n_rings=16,
-        image_size=size, camera=cam, dist_coeffs=dist,
-        r_ic=r_ic, t_ic=t_ic, cam_time_offset=0.004,
-        seed=13, traj=_sim_traj())
-    print(f"[gate] ntu sim rendered in {time.time() - t0:.0f}s "
-          f"({len(sim.images)} images)", file=sys.stderr)
-
+def build_dropout_bag(src_bag: str, image_topic: str,
+                      window: tuple) -> str:
+    """Copy a bag, dropping image messages inside [t0, t1) — forces the
+    cutter onto the gap-fill sweep path.  No re-render needed."""
+    from sr_livo_tpu.runtime import native
+    dst = src_bag.replace(".bag", f"_drop{window[0]:g}_{window[1]:g}.bag")
+    if os.path.exists(dst):
+        return dst
     rbw = _bag_writer()
-    w = rbw.BagWriter(bag)
-    for (t, acc, gyr) in sim.imu:
-        w.write_message("/imu/imu", "sensor_msgs/Imu", t,
-                        rbw.ser_imu(t, acc, gyr))
-    for chunk in sim.lidar_chunks:
-        if chunk.shape[0] == 0:
+    w = rbw.BagWriter(dst)
+    for topic, msg_type, t, payload in native.BagReader(src_bag):
+        if topic == image_topic and window[0] <= t < window[1]:
             continue
-        stamp = float(chunk[0, 3])
-        t_ns = np.round((chunk[:, 3] - stamp) * 1e9).astype(np.uint32)
-        n = chunk.shape[0]
-        ring = (np.arange(n) % 16).astype(np.uint8)
-        w.write_message(
-            "/os1_cloud_node1/points", "sensor_msgs/PointCloud2", stamp,
-            rbw.ser_pointcloud2_ouster(stamp, chunk[:, :3].astype(np.float32),
-                                       t_ns, ring))
-    for (t, img) in sim.images:
-        u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
-        w.write_message("/right/image_raw", "sensor_msgs/Image", t,
-                        rbw.ser_image_rgb8(t, u8))
+        w.write_message(topic, msg_type, t, payload)
     w.close()
-    np.savez(gtf, gt_times=sim.gt_times, gt_pos=sim.gt_pos,
-             gt_quat=sim.gt_quat)
-    return bag
+    # share the ground truth
+    src_gt = src_bag.replace(".bag", "_gt.npz")
+    dst_gt = dst.replace(".bag", "_gt.npz")
+    if not os.path.exists(dst_gt):
+        import shutil
+        shutil.copyfile(src_gt, dst_gt)
+    return dst
 
 
 def _shape_overrides(cfg):
@@ -176,12 +212,13 @@ def _shape_overrides(cfg):
     sh.max_imu_samples = 48
     sh.map_capacity = 1 << 17
     sh.color_capacity = 1 << 17
-    sh.color_registry = 1 << 17
+    sh.color_registry = 1 << 18
     sh.max_render_points = 1 << 13
 
 
 def run_profile(yaml_path: str, bag: str, topics, image_type: str,
-                cache_association: bool, wire_quantization: bool) -> dict:
+                cache_association: bool, wire_quantization: bool,
+                with_backend: bool = False) -> dict:
     from sr_livo_tpu.config import load_config
     from sr_livo_tpu.models.vision import VisionModule
     from sr_livo_tpu.pipeline import LivoPipeline
@@ -192,8 +229,15 @@ def run_profile(yaml_path: str, bag: str, topics, image_type: str,
     cfg.cache_association = cache_association
     cfg.wire_quantization = wire_quantization
 
+    backend = None
+    if with_backend:
+        from sr_livo_tpu.parallel.backend import BackendConfig, MappingBackend
+        backend = MappingBackend(BackendConfig(
+            keyframe_interval=0.5, loop_min_gap=20, loop_radius=2.0,
+            loop_check_every_n=5, feedback_to_filter=True))
+
     vision = VisionModule(cfg)
-    pipe = LivoPipeline(cfg, vision=vision)
+    pipe = LivoPipeline(cfg, vision=vision, backend=backend)
     t0 = time.time()
     drivers.replay_bag(pipe, bag, cfg, *topics, image_type=image_type)
     wall = time.time() - t0
@@ -205,70 +249,124 @@ def run_profile(yaml_path: str, bag: str, topics, image_type: str,
     recs = pipe.records
     n_ok = sum(r.success for r in recs)
     stats = vision.stats
-    tracked = float(np.mean([s[1] for s in stats[5:]])) if len(stats) > 5 \
-        else 0.0
-    return dict(ate_m=round(float(ate), 4), frames=len(recs),
-                registered=n_ok, rendered=sum(r.rendering for r in recs),
-                mean_tracks=round(tracked, 1), wall_s=round(wall, 1))
+    eng = [s[1] for s in stats[5:]]          # LK-survivor count per frame
+    tracked = float(np.mean(eng)) if eng else 0.0
+    gate_pct = float(np.mean([e >= 30 for e in eng])) if eng else 0.0
+    out = dict(ate_m=round(float(ate), 4), frames=len(recs),
+               registered=n_ok,
+               registered_pct=round(n_ok / max(len(recs), 1), 4),
+               rendered=sum(r.rendering for r in recs),
+               gap_fill=sum(not r.rendering for r in recs),
+               mean_tracks=round(tracked, 1),
+               track_gate_pct=round(gate_pct, 4),
+               wall_s=round(wall, 1))
+    if backend is not None:
+        out["loop_closures"] = backend.n_loop_closures
+        out["feedback_applied"] = backend.n_feedback_applied
+        out["ba_runs"] = backend.ba_runs
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--out", default=os.path.join(ROOT, "ACCURACY_r02.json"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "ACCURACY_r03.json"))
     ap.add_argument("--quick", action="store_true",
-                    help="shorter sim for smoke runs")
+                    help="12 s smoke run with relaxed track bounds")
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--strict", action="store_true",
                     help="exit 1 when a bound check fails (CI gating)")
     args = ap.parse_args()
     _force_cpu()
 
-    duration = args.duration or (8.0 if args.quick else 12.0)
-    image_rate = 5.0
+    duration = args.duration or (12.0 if args.quick else 60.0)
+    image_rate = 10.0
     cache = os.path.join(ROOT, ".accuracy_cache")
     os.makedirs(cache, exist_ok=True)
-
-    bag_r3 = build_bag_r3live(cache, duration, image_rate)
-    bag_ntu = build_bag_ntu(cache, duration, image_rate)
 
     r3_topics = ("/livox/lidar", "/livox/imu", "/camera/image_color")
     ntu_topics = ("/os1_cloud_node1/points", "/imu/imu", "/right/image_raw")
     r3_yaml = os.path.join(ROOT, "configs", "r3live.yaml")
     ntu_yaml = os.path.join(ROOT, "configs", "ntu.yaml")
 
-    results = {"r3live": {}, "ntu": {}}
-    for cache_assoc in (True, False):
-        for wire in (True, False):
-            key = f"cache{int(cache_assoc)}_wire{int(wire)}"
-            print(f"[gate] r3live {key} ...", file=sys.stderr)
-            results["r3live"][key] = run_profile(
-                r3_yaml, bag_r3, r3_topics, "RGB8", cache_assoc, wire)
-            print(f"[gate]   -> {results['r3live'][key]}", file=sys.stderr)
-    print("[gate] ntu cache1_wire1 ...", file=sys.stderr)
-    results["ntu"]["cache1_wire1"] = run_profile(
-        ntu_yaml, bag_ntu, ntu_topics, "RGB8", True, True)
-    print(f"[gate]   -> {results['ntu']['cache1_wire1']}", file=sys.stderr)
+    bag_r3 = build_bag("r3live", cache, duration=duration,
+                       image_rate=image_rate, traj_kind="standard",
+                       sensor="livox", calib=R3_CALIB, seed=11)
+    bag_ntu = build_bag("ntu", cache, duration=duration,
+                       image_rate=image_rate, traj_kind="standard",
+                       sensor="ouster", calib=NTU_CALIB, seed=13)
+    agg_dur = min(duration, 30.0)
+    bag_agg = build_bag("r3live_agg", cache, duration=agg_dur,
+                        image_rate=image_rate, traj_kind="aggressive",
+                        sensor="livox", calib=R3_CALIB, seed=17)
+    bag_rev = build_bag("r3live_rev", cache, duration=duration,
+                        image_rate=image_rate, traj_kind="revisit",
+                        sensor="livox", calib=R3_CALIB, seed=19)
+    drop_win = (duration * 0.35, duration * 0.45)
+    bag_drop = build_dropout_bag(bag_r3, r3_topics[2], drop_win)
+
+    results = {}
+
+    def go(name, yaml_path, bag, topics, cache_assoc=True, wire=True,
+           with_backend=False):
+        print(f"[gate] {name} ...", file=sys.stderr)
+        results[name] = run_profile(yaml_path, bag, topics, "RGB8",
+                                    cache_assoc, wire,
+                                    with_backend=with_backend)
+        print(f"[gate]   -> {results[name]}", file=sys.stderr)
+
+    go("r3live", r3_yaml, bag_r3, r3_topics)
+    go("r3live_nocache", r3_yaml, bag_r3, r3_topics, cache_assoc=False)
+    go("r3live_nowire", r3_yaml, bag_r3, r3_topics, wire=False)
+    go("ntu", ntu_yaml, bag_ntu, ntu_topics)
+    go("aggressive", r3_yaml, bag_agg, r3_topics)
+    go("revisit_backend", r3_yaml, bag_rev, r3_topics, with_backend=True)
+    go("dropout", r3_yaml, bag_drop, r3_topics)
 
     bound = 0.05
+    bound_hard = 0.10                       # aggressive / revisit
+    min_tracks = 60.0 if args.quick else 150.0
+    min_gate_pct = 0.5 if args.quick else 0.9
     r3 = results["r3live"]
-    cache_delta = abs(r3["cache1_wire1"]["ate_m"] - r3["cache0_wire1"]["ate_m"])
-    wire_delta = abs(r3["cache1_wire1"]["ate_m"] - r3["cache1_wire0"]["ate_m"])
-    all_ates = [v["ate_m"] for v in r3.values()] + \
-        [results["ntu"]["cache1_wire1"]["ate_m"]]
+    cache_delta = abs(r3["ate_m"] - results["r3live_nocache"]["ate_m"])
+    wire_delta = abs(r3["ate_m"] - results["r3live_nowire"]["ate_m"])
+    checks = {
+        "ate_standard": bool(max(r3["ate_m"],
+                                 results["r3live_nocache"]["ate_m"],
+                                 results["r3live_nowire"]["ate_m"],
+                                 results["ntu"]["ate_m"],
+                                 results["dropout"]["ate_m"]) < bound),
+        "ate_hard_motion": bool(max(results["aggressive"]["ate_m"],
+                                    results["revisit_backend"]["ate_m"])
+                                < bound_hard),
+        "registration_pct": bool(min(
+            v["registered_pct"] for v in results.values()) >= 0.95),
+        "vision_engaged": bool(
+            r3["mean_tracks"] >= min_tracks
+            and results["ntu"]["mean_tracks"] >= min_tracks
+            and r3["track_gate_pct"] >= min_gate_pct
+            and results["ntu"]["track_gate_pct"] >= min_gate_pct),
+        "cache_delta_within_10pct_of_bound": bool(cache_delta < 0.1 * bound),
+        "loop_closure_fed_back": bool(
+            results["revisit_backend"]["loop_closures"] >= 1
+            and results["revisit_backend"]["feedback_applied"] >= 1),
+        "gap_fill_exercised": bool(results["dropout"]["gap_fill"] >= 1),
+    }
     out = {
         "duration_s": duration,
+        "quick": bool(args.quick),
         "bound_m": bound,
+        "bound_hard_m": bound_hard,
+        "min_mean_tracks": min_tracks,
         "profiles": results,
         "cache_association_delta_m": round(cache_delta, 4),
         "wire_quantization_delta_m": round(wire_delta, 4),
-        "all_within_bound": bool(max(all_ates) < bound),
-        "cache_delta_within_10pct_of_bound": bool(cache_delta < 0.1 * bound),
+        "checks": checks,
+        "all_pass": bool(all(checks.values())),
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
-    if args.strict and not (out["all_within_bound"]
-                            and out["cache_delta_within_10pct_of_bound"]):
+    if args.strict and not out["all_pass"]:
         sys.exit(1)
 
 

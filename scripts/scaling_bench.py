@@ -146,25 +146,9 @@ def time_engine(make_engine, sweeps, repeats=3):
 
 
 def pershard_budgets(cfg, n):
-    """Budgets an n-shard engine computes (mirrors
-    ShardedLioEngine.__init__ — keep the formulas in sync)."""
-    from sr_livo_tpu.parallel.routing import rup
-    sh = cfg.shapes
-    slack = float(sh.shard_route_slack)
-    Ns = sh.max_sweep_points // n
-    B2 = rup(min(Ns, Ns / n * slack))
-    F = sh.max_frame_points
-    F_seg = rup(min(F, F / n * max(2.0, slack / 2)))
-    B3 = rup(min(F_seg, F_seg / n * slack))
-    Q = sh.max_keypoints
-    K_seg = rup(min(Q, Q / n * max(2.0, slack / 2)))
-    B4 = rup(min(K_seg, Q / n * slack))
-    K4 = rup(min(Q, Q / n * slack))
-    B5 = rup(min(F_seg, F_seg * 2 * slack / n))
-    W_ins = rup(min(2 * F, 2 * F * max(2.0, slack / 2) / n))
-    local_capacity = max(2 * sh.map_capacity // n, 1 << 10)
-    return dict(Ns=Ns, B2=B2, F_seg=F_seg, B3=B3, K_seg=K_seg, B4=B4,
-                K4=K4, B5=B5, W_ins=W_ins, local_capacity=local_capacity)
+    """Budgets an n-shard engine computes."""
+    from sr_livo_tpu.parallel.sharded_lio import compute_budgets
+    return compute_budgets(cfg, n)
 
 
 def comm_model(b, n, iters=6):

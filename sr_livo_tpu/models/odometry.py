@@ -183,26 +183,38 @@ def _sweep_core(state: EskfState,
         seed_p = p1 + lie.quat_rotate(q_rel, p1 - p0)
     else:
         seed_q = seed_p = None
-    state_upd, summary = lio.iekf_update(
-        state_pred, voxel_map, key_raw, key_valid, last_trans, r_il, t_il,
-        sweep.threshold_capacity,
-        seed_q=seed_q, seed_p=seed_p,
-        size_voxel_map=icp.size_voxel_map,
-        nb_voxels_visited=nb_voxels,
-        max_number_neighbors=icp.max_number_neighbors,
-        min_number_neighbors=icp.min_number_neighbors,
-        power_planarity=icp.power_planarity,
-        max_dist_to_plane=icp.max_dist_to_plane_icp,
-        weight_alpha=icp.weight_alpha,
-        weight_neighborhood=icp.weight_neighborhood,
-        max_num_residuals=icp.max_num_residuals,
-        max_probe=sh.map_max_probe,
-        max_iters=max_iters,
-        threshold_translation_norm=icp.threshold_translation_norm,
-        threshold_orientation_norm=icp.threshold_orientation_norm,
-        laser_point_cov=cfg.laser_point_cov,
-        use_pallas=_resolve_use_pallas(cfg),
-        cache_association=cfg.cache_association)
+    def _update(nb):
+        return lio.iekf_update(
+            state_pred, voxel_map, key_raw, key_valid, last_trans,
+            r_il, t_il, sweep.threshold_capacity,
+            seed_q=seed_q, seed_p=seed_p,
+            size_voxel_map=icp.size_voxel_map,
+            nb_voxels_visited=nb,
+            max_number_neighbors=icp.max_number_neighbors,
+            min_number_neighbors=icp.min_number_neighbors,
+            power_planarity=icp.power_planarity,
+            max_dist_to_plane=icp.max_dist_to_plane_icp,
+            weight_alpha=icp.weight_alpha,
+            weight_neighborhood=icp.weight_neighborhood,
+            max_num_residuals=icp.max_num_residuals,
+            max_probe=sh.map_max_probe,
+            max_iters=max_iters,
+            threshold_translation_norm=icp.threshold_translation_norm,
+            threshold_orientation_norm=icp.threshold_orientation_norm,
+            laser_point_cov=cfg.laser_point_cov,
+            use_pallas=_resolve_use_pallas(cfg),
+            cache_association=cfg.cache_association)
+
+    state_upd, summary = _update(nb_voxels)
+    if cfg.retry_wider_neighborhood:
+        # Failure recovery (see LivoConfig.retry_wider_neighborhood):
+        # re-run once over the widened neighborhood; executes only when
+        # the first update failed.
+        state_upd, summary = jax.lax.cond(
+            summary.success,
+            lambda _: (state_upd, summary),
+            lambda _: _update(nb_voxels + 1),
+            operand=None)
 
     state_new = jax.tree_util.tree_map(
         lambda a, b: jnp.where(sweep.do_optimize, a, b), state_upd, state_pred)

@@ -91,6 +91,8 @@ class VisionModule:
         self.prev_time = None
         self._pre_jit = None
         self._pre_u8_jit = None
+        self._pre_pyr_jit = None
+        self._pre_pyr_u8_jit = None
         self.first_data = True
         self.n_new_visited = jnp.int32(1)
         self._rng = jax.random.PRNGKey(7)
@@ -102,18 +104,21 @@ class VisionModule:
 
     # -- called by the pipeline on EVERY sweep (addPointsToMap color leg) --
     def insert_sweep_points(self, pts_world: jnp.ndarray,
-                            valid: jnp.ndarray, obs_time: float):
-        step = self.cfg.map_options.add_point_step
-        if step > 1:
-            # static stride compaction: a 4x smaller batch means 4x fewer
-            # probe gathers (the dominant insert cost on TPU) vs masking
-            pts_world = pts_world[::step]
-            valid = valid[::step]
+                            frame_valid: jnp.ndarray, success: jnp.ndarray,
+                            obs_time: float):
+        """One jitted dispatch: the success gate, the add_point_step
+        stride, and the insert run in a single program.  Eager `&` /
+        `[::step]` ops here used to cost ~3 extra device dispatches per
+        sweep — each ~0.15-0.5 ms of serial stream time on a tunneled
+        TPU, several times the insert program itself."""
+        mo = self.cfg.map_options
         # number_of_new_visited_voxel: voxels whose visit time became current
-        self.color_map, self.n_new_visited = cm.color_insert(
-            self.color_map, pts_world, valid, obs_time,
-            voxel_size=self.cfg.map_options.size_voxel_map,
-            min_distance=self.cfg.map_options.min_distance_points,
+        self.color_map, self.n_new_visited = _gated_color_insert(
+            self.color_map, pts_world, frame_valid, success,
+            np.float32(obs_time),
+            step=mo.add_point_step,
+            voxel_size=mo.size_voxel_map,
+            min_distance=mo.min_distance_points,
             max_probe=self.cfg.shapes.map_max_probe,
             budget=self.cfg.shapes.max_insert_points)
 
@@ -151,6 +156,40 @@ class VisionModule:
         in native C++ on the host (runtime.native.remap_u8) — the remap
         gather pattern is the slowest op class on TPU and on the host it
         overlaps device compute."""
+        img_u8, remapped = self._host_prepare(image)
+        if remapped:
+            if self._pre_u8_jit is None:
+                self._pre_u8_jit = jax.jit(self._preprocess_from_u8)
+            return self._pre_u8_jit(jnp.asarray(img_u8))
+        if self._pre_jit is None:
+            self._pre_jit = jax.jit(self._preprocess_core)
+        return self._pre_jit(jnp.asarray(img_u8))
+
+    def preprocess_with_pyramid(self, image: np.ndarray):
+        """preprocess + LK pyramid/Scharr precompute fused into ONE
+        dispatched program: (rgb, gray, (pyr, dx, dy)).  Separate
+        preprocess and pyramid dispatches each pay tunnel dispatch cost."""
+        img_u8, remapped = self._host_prepare(image)
+        if remapped:
+            if self._pre_pyr_u8_jit is None:
+                self._pre_pyr_u8_jit = jax.jit(self._preprocess_pyr_from_u8)
+            return self._pre_pyr_u8_jit(jnp.asarray(img_u8))
+        if self._pre_pyr_jit is None:
+            self._pre_pyr_jit = jax.jit(self._preprocess_pyr_core)
+        return self._pre_pyr_jit(jnp.asarray(img_u8))
+
+    def _preprocess_pyr_core(self, img_u8):
+        rgb, gray = self._preprocess_core(img_u8)
+        return rgb, gray, lk.precompute_frame(gray, self.lk_params.levels)
+
+    def _preprocess_pyr_from_u8(self, img_u8):
+        rgb, gray = self._preprocess_from_u8(img_u8)
+        return rgb, gray, lk.precompute_frame(gray, self.lk_params.levels)
+
+    def _host_prepare(self, image: np.ndarray):
+        """Host-side dtype/scale/resize (+ native undistort remap when a
+        distortion model is set); returns (uint8 image at processed
+        size, whether the native remap path ran)."""
         img_in = np.asarray(image)
         if img_in.ndim == 2:
             img_in = np.repeat(img_in[..., None], 3, axis=-1)
@@ -173,9 +212,7 @@ class VisionModule:
                 and img_in.shape[:2] == (self.orig_rows, self.orig_cols)):
             from sr_livo_tpu.runtime import native
             und = native.remap_u8(np.ascontiguousarray(img_in), self.host_map)
-            if self._pre_u8_jit is None:
-                self._pre_u8_jit = jax.jit(self._preprocess_from_u8)
-            return self._pre_u8_jit(jnp.asarray(und))
+            return und, True
         if img_in.shape[:2] != (self.rows, self.cols):
             ys = np.clip(np.round(np.linspace(0, img_in.shape[0] - 1,
                                               self.rows))
@@ -184,9 +221,7 @@ class VisionModule:
                                               self.cols))
                          .astype(int), 0, img_in.shape[1] - 1)
             img_in = img_in[np.ix_(ys, xs)]
-        if self._pre_jit is None:
-            self._pre_jit = jax.jit(self._preprocess_core)
-        return self._pre_jit(jnp.asarray(img_in))
+        return img_in, False
 
     # -- main per-rendering-frame entry ----------------------------------
     def process_frame(self, pipeline, meas, sweep_out):
@@ -196,13 +231,9 @@ class VisionModule:
         timers = pipeline.timers
 
         with timers.stage("vis_preprocess"):
-            rgb, gray = self.preprocess(meas.image)
+            rgb, gray, cur_pyr = self.preprocess_with_pyramid(meas.image)
             if timers.sync:
                 jax.block_until_ready(gray)
-        with timers.stage("vis_pyramid"):
-            cur_pyr = lk.precompute_frame(gray, self.lk_params.levels)
-            if timers.sync:
-                jax.block_until_ready(cur_pyr)
 
         if self.first_data:
             self._init_tracks(q_wi, t_wi, obs_time)
@@ -212,15 +243,13 @@ class VisionModule:
             return
 
         dt = obs_time - self.prev_time
-        self._rng, k1, k2 = jax.random.split(self._rng, 3)
         with timers.stage("vis_step"):
-            (self.camera, self.color_map, self.tracks, stats_vec) \
-                = _vision_step(
+            (self.camera, self.color_map, self.tracks, stats_vec,
+             self._rng) = _vision_step(
                 self.camera, self.color_map, self.tracks,
                 self.prev_pyr, cur_pyr, rgb, q_wi, t_wi,
-                jnp.asarray(dt, jnp.float32),
-                jnp.asarray(obs_time, jnp.float32),
-                self.n_new_visited, k1, k2,
+                np.array([dt, obs_time], np.float32),
+                self.n_new_visited, self._rng,
                 lk_params=self.lk_params,
                 cols=self.cols, rows=self.rows,
                 track_grid=self.track_grid,
@@ -263,14 +292,37 @@ class VisionModule:
             active=ok)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=(
+    "step", "voxel_size", "min_distance", "max_probe", "budget"))
+def _gated_color_insert(cmap, pts_world, frame_valid, success, obs_time, *,
+                        step, voxel_size, min_distance, max_probe, budget):
+    """success-gate + add_point_step stride + color_insert as ONE program
+    (static stride: a 4x smaller batch means 4x fewer probe gathers, the
+    dominant insert cost on TPU, vs masking)."""
+    valid = frame_valid & success
+    if step > 1:
+        pts_world = pts_world[::step]
+        valid = valid[::step]
+    return cm.color_insert(cmap, pts_world, valid, obs_time,
+                           voxel_size=voxel_size, min_distance=min_distance,
+                           max_probe=max_probe, budget=budget)
+
+
 @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=(
     "lk_params", "cols", "rows", "track_grid",
     "max_render_points", "estimate_intrinsic", "estimate_extrinsic"))
 def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
-                 q_wi, t_wi, dt, obs_time, n_new_visited, key_f, key_pnp, *,
+                 q_wi, t_wi, scal, n_new_visited, key, *,
                  lk_params, cols, rows, track_grid,
                  max_render_points, estimate_intrinsic, estimate_extrinsic):
-    """One fused device program for the whole vision frame."""
+    """One fused device program for the whole vision frame.
+
+    `scal` packs the host scalars [dt, obs_time] into ONE transfer, and
+    the PRNG key is split in-program (returning the successor key) — per
+    -frame eager `random.split`/scalar uploads are ~0.15-0.5 ms of
+    serial stream time each on a tunneled TPU."""
+    dt, obs_time = scal[0], scal[1]
+    key_next, key_f, key_pnp = jax.random.split(key, 3)
     m = tracks.reg_id.shape[0]
     registry = color_map.reg.shape[0]
     prev_imgs, prev_dx, prev_dy = prev_pyr
@@ -394,4 +446,4 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     # (n_tracked, n_inlier) packed in-program: one device vector for the
     # host stats list instead of two scalars + an eager stack
     return (camera, color_map, tracks_new,
-            jnp.stack([jnp.sum(status), jnp.sum(keep)]))
+            jnp.stack([jnp.sum(status), jnp.sum(keep)]), key_next)

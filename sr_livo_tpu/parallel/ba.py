@@ -198,7 +198,7 @@ def make_sharded_windowed_ba(mesh: Mesh, n_keyframes: int, *,
                 neighbors, nb_ok, _ = _sharded_knn(
                     local_map, world, voxel_size=voxel_size,
                     max_neighbors=max_neighbors, max_probe=max_probe,
-                    nb_voxels=1, threshold_capacity=1)
+                    nb_voxels=1, threshold_capacity=1, n_shards=n_dev)
                 n_found = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
                 enough = n_found >= min_neighbors
                 normal, a2d, _ = nb_ops.neighborhood_distribution(

@@ -68,6 +68,36 @@ _B2 = np.int32(19349669)
 _B3 = np.int32(83492791)
 
 
+def compute_budgets(cfg: LivoConfig, n: int) -> dict:
+    """Static routing budgets of an n-shard engine.
+
+    Hash-range stages are Binomially concentrated (uniform 31-bit hash)
+    and get ADDITIVE statistical headroom (routing.headroom) — their
+    overhead fraction vanishes as per-shard workloads grow.  Block
+    stages (query/insert routing) follow spatial density and get
+    `shard_route_slack` multiplicative slack instead.  Overflow beyond
+    any budget is dropped deterministically and counted
+    (SweepOutput.route_overflow)."""
+    head, rup = routing.headroom, routing.rup
+    sh = cfg.shapes
+    slack = float(sh.shard_route_slack)
+    N, F, Q = sh.max_sweep_points, sh.max_frame_points, sh.max_keypoints
+    Ns = N // n
+    dup = 2.0                        # halo-corner insert duplication bound
+    return dict(
+        Ns=Ns,
+        B2=min(Ns, head(Ns / n)),                    # frame route / dest
+        F_seg=min(F, head(1.5 * F / n)),             # frame segment
+        B3=min(F, head(1.5 * F / n / n)),            # keypoint route / dest
+        K_seg=min(Q, head(1.5 * Q / n)),             # keypoint segment
+        B4=min(Q, rup(Q / n / n * slack + 32)),      # query route / dest
+        K4=min(Q, rup(Q / n * max(slack / 1.6, 1.0) + 32)),  # local queries
+        B5=min(F, rup(dup * F / n / n * slack + 32)),  # insert route / dest
+        W_ins=min(2 * F, rup(dup * F / n * max(slack / 2.7, 1.0) + 64)),
+        local_capacity=max(2 * sh.map_capacity // n, 1 << 10),
+    )
+
+
 def shard_of(coords: jnp.ndarray, n_shards: int,
              block_bits: int = 4) -> jnp.ndarray:
     """Owning shard of a voxel: hash of its spatial BLOCK coordinate
@@ -78,6 +108,42 @@ def shard_of(coords: jnp.ndarray, n_shards: int,
     h = b[..., 0] * _B1 + b[..., 1] * _B2 + b[..., 2] * _B3
     h2 = (h ^ jax.lax.shift_right_logical(h, 16)) * np.int32(0x45D9F3B)
     return jax.lax.shift_right_logical(h2, 8) % np.int32(n_shards)
+
+
+def _sharded_knn(local_map: vm.VoxelMap, queries: jnp.ndarray, *,
+                 voxel_size: float, max_neighbors: int, max_probe: int,
+                 nb_voxels: int, threshold_capacity,
+                 n_shards: int, block_bits: int = 4
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """kNN for UN-ROUTED (replicated) queries: every shard searches its
+    local table, candidates from voxels it does not own are masked (so
+    halo copies never duplicate), and the per-shard candidate sets merge
+    via all_gather + top-k.  The per-sweep LIO path routes queries to
+    their center-block owner instead (zero merge traffic); this fallback
+    serves consumers whose queries have no spatial routing — the
+    sharded windowed BA's keyframe points (parallel.ba)."""
+    nb_l, ok_l, d_l = vm.knn(local_map, queries, voxel_size=voxel_size,
+                             max_neighbors=max_neighbors,
+                             max_probe=max_probe, nb_voxels=nb_voxels,
+                             threshold_capacity=threshold_capacity)
+    me = jax.lax.axis_index(MAP_AXIS)
+    owned = shard_of(vm.voxel_coords(nb_l, voxel_size), n_shards,
+                     block_bits) == me
+    ok_l = ok_l & owned
+    d_l = jnp.where(ok_l, d_l, jnp.inf)
+    nb_all = jax.lax.all_gather(nb_l, MAP_AXIS)
+    ok_all = jax.lax.all_gather(ok_l, MAP_AXIS)
+    d_all = jax.lax.all_gather(d_l, MAP_AXIS)
+    n, q, k, _ = nb_all.shape
+    nb_all = nb_all.transpose(1, 0, 2, 3).reshape(q, n * k, 3)
+    ok_all = ok_all.transpose(1, 0, 2).reshape(q, n * k)
+    d_all = jnp.where(ok_all, d_all.transpose(1, 0, 2).reshape(q, n * k),
+                      jnp.inf)
+    neg, idx = jax.lax.top_k(-d_all, max_neighbors)
+    nb = jnp.take_along_axis(nb_all, idx[..., None], axis=1)
+    ok = jnp.take_along_axis(ok_all, idx, axis=1)
+    dist = jnp.where(ok, -neg, 0.0)
+    return nb, ok, dist
 
 
 class ShardedLioEngine:
@@ -103,26 +169,9 @@ class ShardedLioEngine:
         self.halo = sh.map_halo_voxels
         assert (1 << self.block_bits) >= 2 * self.halo + 1, \
             "block side must cover the halo corner rule"
-        # Halo copies ~double occupancy; give each shard 2x the even
-        # split so the probe-load stays comparable to single-chip.
-        self.local_capacity = max(2 * sh.map_capacity // n, 1 << 10)
-
-        # ---- static routing budgets (see module docstring) -----------
-        rup = routing.rup
-        slack = float(sh.shard_route_slack)
-        self.Ns = sh.max_sweep_points // n
-        self.B2 = rup(min(self.Ns, self.Ns / n * slack))
-        F = sh.max_frame_points
-        self.F_seg = rup(min(F, F / n * max(2.0, slack / 2)))
-        self.B3 = rup(min(self.F_seg, self.F_seg / n * slack))
-        Q = sh.max_keypoints
-        self.K_seg = rup(min(Q, Q / n * max(2.0, slack / 2)))
-        self.B4 = rup(min(self.K_seg, Q / n * slack))
-        self.K4 = rup(min(Q, Q / n * slack))
-        self.B5 = rup(min(self.F_seg, self.F_seg * 2 * slack / n))
-        self.W_ins = rup(min(2 * F, 2 * F * max(2.0, slack / 2) / n))
-        for k, v in (budget_override or {}).items():
-            assert hasattr(self, k), k
+        budgets = compute_budgets(cfg, n)
+        budgets.update(budget_override or {})
+        for k, v in budgets.items():
             setattr(self, k, int(v))
 
         # HOST numpy constants (a closed-over device array forces a

@@ -197,8 +197,8 @@ class LivoPipeline:
             # lioOptimization.cpp:538-539)
             with self.timers.stage("color_insert"):
                 self.vision.insert_sweep_points(
-                    out.frame_pts_world,
-                    out.frame_valid & out.summary.success, meas.time_image)
+                    out.frame_pts_world, out.frame_valid,
+                    out.summary.success, meas.time_image)
                 if self.timers.sync:
                     import jax
                     jax.block_until_ready(self.vision.color_map.reg)

@@ -32,8 +32,11 @@ def _rect(center, u, v) -> Rect:
 
 
 def make_room(half: float = 8.0, height: float = 3.0,
-              boxes: int = 3, seed: int = 0) -> List[Rect]:
-    """Closed room + a few interior boxes (gives rich plane structure)."""
+              boxes: int = 3, seed: int = 0,
+              clear_radius: float = 3.0) -> List[Rect]:
+    """Closed room + a few interior boxes (gives rich plane structure).
+    Box centers stay `clear_radius` + 0.5 from the origin so the
+    trajectory region stays collision-free."""
     h = half
     rects = [
         _rect([0, 0, 0], [h, 0, 0], [0, h, 0]),            # floor
@@ -46,8 +49,8 @@ def make_room(half: float = 8.0, height: float = 3.0,
     rng = np.random.RandomState(seed)
     for _ in range(boxes):
         c = rng.uniform(-h * 0.6, h * 0.6, 2)
-        if np.linalg.norm(c) < 3.0:   # keep the trajectory region clear
-            c = c / max(np.linalg.norm(c), 1e-6) * 3.5
+        if np.linalg.norm(c) < clear_radius:   # keep trajectory region clear
+            c = c / max(np.linalg.norm(c), 1e-6) * (clear_radius + 0.5)
         sx, sy, sz = rng.uniform(0.4, 1.2, 3)
         cx, cy = c
         rects += [
@@ -92,16 +95,56 @@ class SyntheticWorld:
         return pts, hit, tb
 
     def color(self, pts: np.ndarray) -> np.ndarray:
-        """Smooth procedural RGB texture in [0, 1], (N, 3).
+        """Procedural RGB texture in [0, 1], (N, 3).
 
-        Low-frequency + mid-frequency sinusoids: smooth enough for LK
-        gradients, varied enough to be discriminative.
+        Two octaves of trilinear value noise (0.5 m and 0.15 m cells)
+        over a low-frequency sinusoid base.  The noise octaves give the
+        texture rank-2 local structure at LK-window scale everywhere
+        (pure sinusoids leave large aperture-problem regions where the
+        21x21 structure tensor is rank-1 and tracking dies), while
+        staying C^1-smooth so subpixel gradients are well-defined.
         """
         x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
-        r = 0.5 + 0.25 * np.sin(1.3 * x + 0.7 * y) + 0.15 * np.sin(3.1 * z + 2.0 * x)
-        g = 0.5 + 0.25 * np.sin(1.1 * y + 0.5 * z) + 0.15 * np.sin(2.7 * x + 1.1 * y)
-        b = 0.5 + 0.25 * np.sin(0.9 * z + 0.8 * x) + 0.15 * np.sin(2.3 * y + 1.7 * z)
-        return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+        r = 0.5 + 0.12 * np.sin(1.3 * x + 0.7 * y)
+        g = 0.5 + 0.12 * np.sin(1.1 * y + 0.5 * z)
+        b = 0.5 + 0.12 * np.sin(0.9 * z + 0.8 * x)
+        base = np.stack([r, g, b], axis=-1)
+        tex = (0.30 * _value_noise3(pts, 0.5, 11)
+               + 0.18 * _value_noise3(pts, 0.15, 23))
+        return np.clip(base + tex, 0.02, 0.98)
+
+
+def _cell_hash3(cx: np.ndarray, cy: np.ndarray, cz: np.ndarray,
+                salt: int) -> np.ndarray:
+    """Deterministic per-cell value in [-1, 1], (..., 3) RGB channels."""
+    h = (cx.astype(np.int64) * 73856093 + cy.astype(np.int64) * 19349669
+         + cz.astype(np.int64) * 83492791 + salt * 374761393)
+    out = []
+    for mix in (2654435761, 2246822519, 3266489917):
+        v = (h * mix) & 0xFFFFFFFF
+        v ^= v >> 15
+        v = (v * 2654435761) & 0xFFFFFFFF
+        out.append((v & 0xFFFF) / 32767.5 - 1.0)
+    return np.stack(out, axis=-1)
+
+
+def _value_noise3(pts: np.ndarray, scale: float, salt: int) -> np.ndarray:
+    """Trilinearly-interpolated 3-D value noise, (..., 3) in [-1, 1]."""
+    p = pts / scale
+    c0 = np.floor(p).astype(np.int64)
+    f = p - c0
+    w = f * f * (3.0 - 2.0 * f)            # smoothstep weights
+    acc = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                v = _cell_hash3(c0[..., 0] + dx, c0[..., 1] + dy,
+                                c0[..., 2] + dz, salt)
+                wx = w[..., 0] if dx else 1.0 - w[..., 0]
+                wy = w[..., 1] if dy else 1.0 - w[..., 1]
+                wz = w[..., 2] if dz else 1.0 - w[..., 2]
+                acc = acc + v * (wx * wy * wz)[..., None]
+    return acc
 
 
 class Trajectory:

@@ -157,3 +157,70 @@ def test_iekf_cached_association_matches_full():
         lie.quat_to_so3(lie.quat_mul(lie.quat_conj(out_f.q),
                                      out_c.q)))) < 0.05
     assert np.allclose(out_c.cov, out_f.cov, atol=2e-4)
+
+
+def test_retry_wider_neighborhood_recovers_sparse_map():
+    """A map so sparse that 27-voxel neighborhoods hold < min neighbors
+    fails the plain update; with retry_wider_neighborhood the engine
+    re-runs at +-2 voxels and succeeds (LivoConfig knob; the reference
+    simply drops the frame, lioOptimization.cpp:1011-1014)."""
+    from sr_livo_tpu.config import LivoConfig
+    from sr_livo_tpu.models.odometry import LioEngine, SweepInput
+
+    def cfg_for(retry):
+        cfg = LivoConfig()
+        cfg.icp.size_voxel_map = 0.6
+        cfg.icp.min_number_neighbors = 12
+        cfg.odometry_options.voxel_size = 0.2
+        cfg.odometry_options.sample_voxel_size = 0.7
+        cfg.retry_wider_neighborhood = retry
+        cfg.wire_quantization = False
+        sh = cfg.shapes
+        sh.max_sweep_points = 1024
+        sh.max_frame_points = 1024
+        sh.max_keypoints = 256
+        sh.max_imu_samples = 8
+        sh.map_capacity = 1 << 14
+        return cfg
+
+    # one point per 0.6 m voxel on a sparse 1.2 m grid: a +-1 voxel
+    # neighborhood sees ~4 points (< 12), +-2 sees ~9-12 (>= 12 with
+    # the second plane below)
+    g = np.arange(-6.0, 6.0, 1.2, np.float32) + 0.3
+    gx, gy = np.meshgrid(g, g)
+    floor = np.c_[gx.ravel(), gy.ravel(), np.zeros(gx.size)]
+    wall = np.c_[gx.ravel(), np.full(gx.size, 6.3), gy.ravel() * 0.25 + 1.5]
+    sparse = np.concatenate([floor, wall]).astype(np.float32)
+
+    def run(retry):
+        cfg = cfg_for(retry)
+        eng = LioEngine(cfg)
+        m = eng.make_map()
+        m, _ = vm.insert(m, jnp.asarray(sparse),
+                         jnp.ones(sparse.shape[0], bool), 0.6, 0.05, 8)
+        state = eng.init_state()
+        # sweep points: the same sparse world seen from identity pose
+        n = 1024
+        sel = RNG.choice(sparse.shape[0], n, replace=True)
+        pts = sparse[sel] + RNG.randn(n, 3).astype(np.float32) * 0.01
+        sweep = SweepInput(
+            raw_pts=jnp.asarray(pts),
+            t_rel=jnp.zeros(n, jnp.float32),
+            pt_valid=jnp.ones(n, bool),
+            imu_t=jnp.asarray(np.linspace(0.01, 0.1, 8), jnp.float32),
+            imu_dt=jnp.asarray(np.full(8, 0.0125), jnp.float32),
+            imu_acc=jnp.asarray(
+                np.tile(np.array([0, 0, 9.81], np.float32), (8, 1))),
+            imu_gyr=jnp.zeros((8, 3), jnp.float32),
+            imu_valid=jnp.ones(8, bool),
+            do_optimize=jnp.asarray(True),
+            threshold_capacity=jnp.int32(1))
+        out = eng.step(state, m, sweep,
+                       frame_id=cfg.odometry_options.init_num_frames + 1)
+        return bool(out.summary.success), int(out.summary.num_residuals)
+
+    ok_plain, n_plain = run(False)
+    ok_retry, n_retry = run(True)
+    assert not ok_plain, (ok_plain, n_plain)
+    assert ok_retry, (ok_retry, n_retry)
+    assert n_retry >= 12

@@ -1,0 +1,115 @@
+"""Unit tests for the shard_map routing primitives (parallel.routing)
+and the sharded engine's overflow accounting."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from sr_livo_tpu.parallel import routing
+from sr_livo_tpu.parallel import mesh as mesh_mod
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+
+def test_pack_cols_int_roundtrip():
+    pts = jnp.asarray(np.random.RandomState(0).randn(16, 3), jnp.float32)
+    h = jnp.asarray(np.random.RandomState(1).randint(0, 2 ** 31 - 1, 16),
+                    jnp.int32)
+    idx = jnp.arange(16, dtype=jnp.int32)
+    rows = routing.pack_cols(pts, h, idx)
+    assert rows.shape == (16, 5)
+    assert np.array_equal(np.asarray(routing.unpack_col_i32(rows, 3)), h)
+    assert np.array_equal(np.asarray(routing.unpack_col_i32(rows, 4)), idx)
+    assert np.allclose(np.asarray(rows[:, :3]), np.asarray(pts))
+
+
+def test_lex_sort_dedup_winner_rule():
+    primary = jnp.asarray([5, 3, 5, 3, 7, 5], jnp.int32)
+    secondary = jnp.asarray([2, 9, 1, 4, 0, 8], jnp.int32)
+    valid = jnp.asarray([True, True, True, True, False, True])
+    order, win = routing.lex_sort_dedup(primary, secondary, valid)
+    o = np.asarray(order)
+    w = np.asarray(win)
+    # sorted primaries: 3,3,5,5,5 then invalid
+    assert list(np.asarray(primary)[o[:5]]) == [3, 3, 5, 5, 5]
+    # winners: first of each run = min secondary (3->idx3 sec4, 5->idx2 sec1)
+    winners = o[w]
+    assert set(winners.tolist()) == {3, 2}
+    assert w.sum() == 2
+
+
+def test_exchange_routes_rows_to_owner():
+    """8-shard all_to_all: every row lands on its destination shard with
+    source-stable ordering, and overflow is counted."""
+    n = 8
+    mesh = mesh_mod.make_mesh(n)
+    m, budget = 64, 16
+    rng = np.random.RandomState(3)
+    # per-shard payload: value encodes (src, local idx); dest random
+    dest_all = jnp.asarray(rng.randint(0, n, (n, m)), jnp.int32)
+    val_all = jnp.asarray(rng.rand(n, m) < 0.9)
+
+    def body(dest, valid):
+        dest, valid = dest[0], valid[0]
+        me = jax.lax.axis_index("map")
+        payload = me * np.int32(1000) + jnp.arange(m, dtype=jnp.int32)
+        rows = routing.pack_cols(payload)
+        buf, bval, dropped = routing.pack_for_exchange(
+            dest, valid, rows, n, budget)
+        rcv, rval = routing.exchange(buf, bval, "map")
+        got = jnp.where(rval, routing.unpack_col_i32(rcv, 0), -1)
+        return (got[None], jax.lax.psum(dropped, "map")[None])
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P("map"), P("map")),
+        out_specs=(P("map"), P("map")), check_vma=False))
+    got, dropped = fn(dest_all, val_all)
+    got = np.asarray(got).reshape(n, n, budget)   # [dst, src, slot]
+    dest_np, val_np = np.asarray(dest_all), np.asarray(val_all)
+
+    total_expected = 0
+    for dst in range(n):
+        for src in range(n):
+            sent = [src * 1000 + i for i in range(m)
+                    if val_np[src, i] and dest_np[src, i] == dst]
+            kept = sent[:budget]
+            total_expected += len(sent) - len(kept)
+            slot = got[dst, src]
+            received = [int(x) for x in slot if x >= 0]
+            assert received == kept, (dst, src)
+    assert int(np.asarray(dropped)[0]) == total_expected
+
+
+def test_engine_counts_overflow_with_starved_budgets():
+    """Force a tiny query budget: the engine must COUNT dropped work in
+    route_overflow instead of silently truncating."""
+    from sr_livo_tpu.models.odometry import SweepInput
+    from sr_livo_tpu.parallel.sharded_lio import ShardedLioEngine
+    from tests.test_sharded_lio import _cfg, _sweeps
+
+    cfg = _cfg()
+    preps = _sweeps(cfg, n=3)
+    mesh = mesh_mod.make_mesh(8)
+    eng = ShardedLioEngine(cfg, mesh, budget_override=dict(B4=8, K4=16))
+    s, m = eng.init_state(), eng.make_map()
+    overflow = 0
+    for fid, prep in enumerate(preps, start=1):
+        sweep = SweepInput(
+            raw_pts=jnp.asarray(prep.raw_pts), t_rel=jnp.asarray(prep.t_rel),
+            pt_valid=jnp.asarray(prep.pt_valid),
+            imu_t=jnp.asarray(prep.imu_t), imu_dt=jnp.asarray(prep.imu_dt),
+            imu_acc=jnp.asarray(prep.imu_acc),
+            imu_gyr=jnp.asarray(prep.imu_gyr),
+            imu_valid=jnp.asarray(prep.imu_valid),
+            do_optimize=jnp.asarray(fid > 1),
+            threshold_capacity=jnp.int32(1))
+        out = eng.step(s, m, sweep, fid)
+        s, m = out.state, out.voxel_map
+        overflow += int(out.route_overflow)
+    assert overflow > 0, "starved budgets must surface dropped work"
