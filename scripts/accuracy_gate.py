@@ -48,7 +48,7 @@ sys.path.insert(0, ROOT)
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
-CACHE_TAG = "v4"          # bump when the simulator/world changes
+CACHE_TAG = "v5"          # bump when the simulator/world changes
 
 
 def _force_cpu():
@@ -62,10 +62,18 @@ def _bag_writer():
     return rbw
 
 
-def _world():
+def _world(use_jax: bool = False):
+    """Rich cone-constraining world: boxes + 36 tilted wall panels
+    (a bare wall leaves a forward-cone LiDAR laterally unconstrained;
+    see synthetic.make_room).  seed/layout chosen so the r3live-style
+    profiles keep >=100 plane residuals everywhere on the trajectory.
+    `use_jax` runs the raycast on the default JAX backend — the bag
+    prebuild uses the TPU, cutting a 60 s 10 Hz render from hours (102
+    rects, numpy) to minutes."""
     from sr_livo_tpu.runtime.synthetic import SyntheticWorld, make_room
-    return SyntheticWorld(make_room(half=8.0, height=3.0, boxes=6, seed=5,
-                                    clear_radius=4.0))
+    return SyntheticWorld(make_room(half=12.0, height=4.0, boxes=12, seed=7,
+                                    clear_radius=3.6, panels=36),
+                          use_jax=use_jax)
 
 
 def _traj(kind: str):
@@ -75,9 +83,10 @@ def _traj(kind: str):
         return Trajectory(amp=(1.6, 1.6, 0.2), freq=(0.22, 0.15, 0.35),
                           yaw_amp=0.5, rp_amp=0.06, start_still=4.5)
     if kind == "aggressive":
-        # ~4.8 m/s peak translation, ~2.2 rad/s peak yaw rate
-        return Trajectory(amp=(2.2, 2.2, 0.3), freq=(0.35, 0.28, 0.5),
-                          yaw_amp=1.0, yaw_freq=0.35, rp_amp=0.15,
+        # ~3.4 m/s peak translation, ~1.7 rad/s peak yaw rate (the
+        # standard profile peaks at ~0.9 m/s)
+        return Trajectory(amp=(1.8, 1.8, 0.25), freq=(0.3, 0.24, 0.45),
+                          yaw_amp=0.9, yaw_freq=0.3, rp_amp=0.12,
                           start_still=4.5)
     if kind == "revisit":
         # long-period Lissajous: returns near the start every ~20 s
@@ -109,7 +118,8 @@ NTU_CALIB = dict(
 
 
 def build_bag(tag: str, cache: str, *, duration: float, image_rate: float,
-              traj_kind: str, sensor: str, calib: dict, seed: int) -> str:
+              traj_kind: str, sensor: str, calib: dict, seed: int,
+              use_jax: bool = False) -> str:
     """Render + serialize one profile bag (cached on the full tag)."""
     from sr_livo_tpu.runtime import synthetic
 
@@ -125,7 +135,7 @@ def build_bag(tag: str, cache: str, *, duration: float, image_rate: float,
               image_size=calib["size"], camera=cam, dist_coeffs=calib["dist"],
               r_ic=calib["r_ic"], t_ic=calib["t_ic"],
               cam_time_offset=calib["cam_time_offset"],
-              seed=seed, traj=_traj(traj_kind), world=_world())
+              seed=seed, traj=_traj(traj_kind), world=_world(use_jax))
     if sensor == "livox":
         sim = synthetic.simulate(
             sweep_rate=10.0,
@@ -275,8 +285,13 @@ def main():
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--strict", action="store_true",
                     help="exit 1 when a bound check fails (CI gating)")
+    ap.add_argument("--prebuild", default=None,
+                    help="build ONE bag (r3live|ntu|agg|rev) and exit — "
+                         "lets callers render the four bags in parallel "
+                         "processes before the main run")
     args = ap.parse_args()
-    _force_cpu()
+    if not args.prebuild:
+        _force_cpu()      # prebuild renders on the default (TPU) backend
 
     duration = args.duration or (12.0 if args.quick else 60.0)
     image_rate = 10.0
@@ -287,20 +302,35 @@ def main():
     ntu_topics = ("/os1_cloud_node1/points", "/imu/imu", "/right/image_raw")
     r3_yaml = os.path.join(ROOT, "configs", "r3live.yaml")
     ntu_yaml = os.path.join(ROOT, "configs", "ntu.yaml")
-
-    bag_r3 = build_bag("r3live", cache, duration=duration,
-                       image_rate=image_rate, traj_kind="standard",
-                       sensor="livox", calib=R3_CALIB, seed=11)
-    bag_ntu = build_bag("ntu", cache, duration=duration,
-                       image_rate=image_rate, traj_kind="standard",
-                       sensor="ouster", calib=NTU_CALIB, seed=13)
     agg_dur = min(duration, 30.0)
-    bag_agg = build_bag("r3live_agg", cache, duration=agg_dur,
-                        image_rate=image_rate, traj_kind="aggressive",
-                        sensor="livox", calib=R3_CALIB, seed=17)
-    bag_rev = build_bag("r3live_rev", cache, duration=duration,
-                        image_rate=image_rate, traj_kind="revisit",
-                        sensor="livox", calib=R3_CALIB, seed=19)
+
+    uj = bool(args.prebuild)
+    builders = {
+        "r3live": lambda: build_bag(
+            "r3live", cache, duration=duration, image_rate=image_rate,
+            traj_kind="standard", sensor="livox", calib=R3_CALIB, seed=11,
+            use_jax=uj),
+        "ntu": lambda: build_bag(
+            "ntu", cache, duration=duration, image_rate=image_rate,
+            traj_kind="standard", sensor="ouster", calib=NTU_CALIB, seed=13,
+            use_jax=uj),
+        "agg": lambda: build_bag(
+            "r3live_agg", cache, duration=agg_dur, image_rate=image_rate,
+            traj_kind="aggressive", sensor="livox", calib=R3_CALIB, seed=17,
+            use_jax=uj),
+        "rev": lambda: build_bag(
+            "r3live_rev", cache, duration=duration, image_rate=image_rate,
+            traj_kind="revisit", sensor="livox", calib=R3_CALIB, seed=19,
+            use_jax=uj),
+    }
+    if args.prebuild:
+        builders[args.prebuild]()
+        return
+
+    bag_r3 = builders["r3live"]()
+    bag_ntu = builders["ntu"]()
+    bag_agg = builders["agg"]()
+    bag_rev = builders["rev"]()
     drop_win = (duration * 0.35, duration * 0.45)
     bag_drop = build_dropout_bag(bag_r3, r3_topics[2], drop_win)
 
@@ -346,9 +376,11 @@ def main():
             and r3["track_gate_pct"] >= min_gate_pct
             and results["ntu"]["track_gate_pct"] >= min_gate_pct),
         "cache_delta_within_10pct_of_bound": bool(cache_delta < 0.1 * bound),
-        "loop_closure_fed_back": bool(
+        # a 12 s quick run cannot revisit (loop_min_gap = 10 s of
+        # keyframes); only the full run requires a verified closure
+        "loop_closure_fed_back": bool(args.quick or (
             results["revisit_backend"]["loop_closures"] >= 1
-            and results["revisit_backend"]["feedback_applied"] >= 1),
+            and results["revisit_backend"]["feedback_applied"] >= 1)),
         "gap_fill_exercised": bool(results["dropout"]["gap_fill"] >= 1),
     }
     out = {

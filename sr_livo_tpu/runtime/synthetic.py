@@ -33,10 +33,15 @@ def _rect(center, u, v) -> Rect:
 
 def make_room(half: float = 8.0, height: float = 3.0,
               boxes: int = 3, seed: int = 0,
-              clear_radius: float = 3.0) -> List[Rect]:
-    """Closed room + a few interior boxes (gives rich plane structure).
+              clear_radius: float = 3.0,
+              panels: int = 0) -> List[Rect]:
+    """Closed room + interior boxes (rich plane structure) + optional
+    wall-mounted tilted PANELS.  Panels matter for forward-cone LiDARs
+    (Livox): a bare wall at range constrains only its normal direction —
+    ~100 coplanar residuals leave the estimate free to slide laterally —
+    while tilted panels inside the cone add independent plane normals.
     Box centers stay `clear_radius` + 0.5 from the origin so the
-    trajectory region stays collision-free."""
+    trajectory region stays collision-free; panels sit on the walls."""
     h = half
     rects = [
         _rect([0, 0, 0], [h, 0, 0], [0, h, 0]),            # floor
@@ -60,11 +65,43 @@ def make_room(half: float = 8.0, height: float = 3.0,
             _rect([cx, cy - sy, sz], [sx, 0, 0], [0, 0, sz]),
             _rect([cx, cy, 2 * sz], [sx, 0, 0], [0, sy, 0]),
         ]
+    # tilted panels mounted just inside the four walls
+    for i in range(panels):
+        wall = i % 4
+        along = rng.uniform(-h * 0.85, h * 0.85)
+        zc = rng.uniform(0.5, height - 0.6)
+        s1, s2 = rng.uniform(0.5, 1.0, 2)
+        tilt = rng.uniform(-0.6, 0.6)          # rad, about the vertical
+        lean = rng.uniform(-0.4, 0.4)          # rad, toward the room
+        ct, st = np.cos(tilt), np.sin(tilt)
+        cl, sl = np.cos(lean), np.sin(lean)
+        if wall == 0:      # x = +h wall, faces -x
+            c = [h - 0.3, along, zc]
+            u = [st * s1, ct * s1, 0.0]
+            v = [sl * s2, 0.0, cl * s2]
+        elif wall == 1:    # x = -h
+            c = [-h + 0.3, along, zc]
+            u = [st * s1, ct * s1, 0.0]
+            v = [-sl * s2, 0.0, cl * s2]
+        elif wall == 2:    # y = +h
+            c = [along, h - 0.3, zc]
+            u = [ct * s1, st * s1, 0.0]
+            v = [0.0, sl * s2, cl * s2]
+        else:              # y = -h
+            c = [along, -h + 0.3, zc]
+            u = [ct * s1, st * s1, 0.0]
+            v = [0.0, -sl * s2, cl * s2]
+        rects.append(_rect(c, u, v))
     return rects
 
 
 class SyntheticWorld:
-    def __init__(self, rects: Optional[List[Rect]] = None):
+    def __init__(self, rects: Optional[List[Rect]] = None,
+                 use_jax: bool = False):
+        """`use_jax=True` runs the raycast as a jitted f32 XLA program on
+        the default backend — on an accelerator this makes rich worlds
+        (100+ rects) render orders of magnitude faster than numpy.  Only
+        the bag/image builders opt in; tests keep the f64 numpy path."""
         self.rects = rects if rects is not None else make_room()
         self._centers = np.stack([r.center for r in self.rects])
         self._us = np.stack([r.u for r in self.rects])
@@ -72,20 +109,33 @@ class SyntheticWorld:
         self._ns = np.stack([r.normal for r in self.rects])
         self._ulen2 = np.sum(self._us ** 2, axis=-1)
         self._vlen2 = np.sum(self._vs ** 2, axis=-1)
+        self.use_jax = use_jax
+        self._jax_raycast = None
 
     def raycast(self, origins: np.ndarray, dirs: np.ndarray
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batch ray casting.  origins/dirs: (N, 3).  Returns
-        (points (N, 3), hit (N,), t (N,))."""
-        o = origins[:, None, :]                       # (N, R, 3)
-        d = dirs[:, None, :]
-        denom = np.sum(d * self._ns[None], axis=-1)   # (N, R)
+        (points (N, 3), hit (N,), t (N,)).
+
+        Formulated entirely as (N, 3) x (3, R) matmuls on 2-D (N, R)
+        intermediates — the hit point p = o + t d is never materialized
+        per rect ((N, R, 3) arrays made rendering memory-bound):
+          uu = ((o + t d) - c) . u / |u|^2
+             = (o.u - c.u + t (d.u)) / |u|^2
+        """
+        if self.use_jax:
+            return self._raycast_jax_call(origins, dirs)
+        ns_t = self._ns.T                              # (3, R)
+        denom = dirs @ ns_t                            # (N, R)
         denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
-        t = np.sum((self._centers[None] - o) * self._ns[None], axis=-1) / denom
-        p = o + t[..., None] * d                      # (N, R, 3)
-        rel = p - self._centers[None]
-        uu = np.sum(rel * self._us[None], axis=-1) / self._ulen2[None]
-        vv = np.sum(rel * self._vs[None], axis=-1) / self._vlen2[None]
+        cn = np.sum(self._centers * self._ns, axis=-1)  # (R,)
+        t = (cn[None, :] - origins @ ns_t) / denom
+        cu = np.sum(self._centers * self._us, axis=-1)
+        cv = np.sum(self._centers * self._vs, axis=-1)
+        uu = (origins @ self._us.T + t * (dirs @ self._us.T)
+              - cu[None, :]) / self._ulen2[None]
+        vv = (origins @ self._vs.T + t * (dirs @ self._vs.T)
+              - cv[None, :]) / self._vlen2[None]
         ok = (t > 0.1) & (np.abs(uu) <= 1.0) & (np.abs(vv) <= 1.0)
         t = np.where(ok, t, np.inf)
         best = np.argmin(t, axis=-1)
@@ -93,6 +143,48 @@ class SyntheticWorld:
         hit = np.isfinite(tb)
         pts = origins + np.where(hit, tb, 0.0)[:, None] * dirs
         return pts, hit, tb
+
+    def _raycast_jax_call(self, origins: np.ndarray, dirs: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+        if self._jax_raycast is None:
+            # HOST numpy constants closed over by the jit (a closed-over
+            # device array is pathological on tunneled TPEs — see
+            # models.odometry.LioEngine)
+            ns_t = self._ns.T.astype(np.float32)
+            us_t = self._us.T.astype(np.float32)
+            vs_t = self._vs.T.astype(np.float32)
+            cn = np.sum(self._centers * self._ns, -1).astype(np.float32)
+            cu = np.sum(self._centers * self._us, -1).astype(np.float32)
+            cv = np.sum(self._centers * self._vs, -1).astype(np.float32)
+            ul2 = self._ulen2.astype(np.float32)
+            vl2 = self._vlen2.astype(np.float32)
+
+            @jax.jit
+            def f(o, d):
+                denom = d @ ns_t
+                denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+                t = (cn[None, :] - o @ ns_t) / denom
+                uu = (o @ us_t + t * (d @ us_t) - cu[None, :]) / ul2
+                vv = (o @ vs_t + t * (d @ vs_t) - cv[None, :]) / vl2
+                ok = (t > 0.1) & (jnp.abs(uu) <= 1.0) & (jnp.abs(vv) <= 1.0)
+                t = jnp.where(ok, t, jnp.inf)
+                tb = jnp.min(t, axis=-1)
+                hit = jnp.isfinite(tb)
+                pts = o + jnp.where(hit, tb, 0.0)[:, None] * d
+                # ONE packed row per ray -> one device->host transfer
+                # (each D2H readback pays a large fixed cost on a
+                # tunneled TPU)
+                return jnp.concatenate(
+                    [pts, hit[:, None].astype(jnp.float32),
+                     jnp.where(hit, tb, jnp.float32(np.inf))[:, None]],
+                    axis=1)
+
+            self._jax_raycast = f
+        packed = np.asarray(self._jax_raycast(origins.astype(np.float32),
+                                              dirs.astype(np.float32)))
+        return (packed[:, 0:3].astype(np.float64), packed[:, 3] > 0.5,
+                packed[:, 4].astype(np.float64))
 
     def color(self, pts: np.ndarray) -> np.ndarray:
         """Procedural RGB texture in [0, 1], (N, 3).
