@@ -48,7 +48,7 @@ sys.path.insert(0, ROOT)
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
-CACHE_TAG = "v5"          # bump when the simulator/world changes
+CACHE_TAG = "v7"          # bump when the simulator/world changes
 
 
 def _force_cpu():
@@ -71,7 +71,7 @@ def _world(use_jax: bool = False):
     prebuild uses the TPU, cutting a 60 s 10 Hz render from hours (102
     rects, numpy) to minutes."""
     from sr_livo_tpu.runtime.synthetic import SyntheticWorld, make_room
-    return SyntheticWorld(make_room(half=12.0, height=4.0, boxes=12, seed=7,
+    return SyntheticWorld(make_room(half=12.0, height=4.0, boxes=20, seed=7,
                                     clear_radius=3.6, panels=36),
                           use_jax=use_jax)
 
@@ -139,7 +139,7 @@ def build_bag(tag: str, cache: str, *, duration: float, image_rate: float,
     if sensor == "livox":
         sim = synthetic.simulate(
             sweep_rate=10.0,
-            dirs_phase=synthetic.lidar_directions_livox(110, 76), **kw)
+            dirs_phase=synthetic.lidar_directions_livox(160, 110), **kw)
     else:
         sim = synthetic.simulate(sweep_rate=20.0, n_azimuth=160, n_rings=16,
                                  **kw)
@@ -238,6 +238,9 @@ def run_profile(yaml_path: str, bag: str, topics, image_type: str,
     _shape_overrides(cfg)
     cfg.cache_association = cache_association
     cfg.wire_quantization = wire_quantization
+    # weak-solve recovery in the degenerate-view regime (long-range
+    # cone viewing): see LivoConfig.retry_wider_neighborhood
+    cfg.retry_wider_neighborhood = True
 
     backend = None
     if with_backend:

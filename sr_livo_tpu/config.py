@@ -260,11 +260,12 @@ class LivoConfig:
     eviction_every_n_frames: int = 20
     # Recovery extension (no reference equivalent — the reference simply
     # skips map insertion on ICP failure, lioOptimization.cpp:1011-1014):
-    # when the update fails with too few residuals (degenerate view /
-    # freshly-entered territory), retry the IEKF once with the voxel
-    # neighborhood widened by one ring (27 -> 125 voxels), recovering
-    # frames whose keypoints sit in sparsely-populated voxels.  The
-    # retry branch only executes on failure (lax.cond).
+    # when the update fails OR solves on fewer than icp.min_num_residuals
+    # rows (degenerate view / freshly-entered territory), retry the IEKF
+    # once with the voxel neighborhood widened by one ring (27 -> 125
+    # voxels), recovering frames whose keypoints sit in sparsely-
+    # populated voxels.  The retry branch only executes when triggered
+    # (lax.cond).
     retry_wider_neighborhood: bool = False
     # Frame retirement (lioOptimization.cpp:1101-1130): bound the live
     # frame-record set to num_for_initialization pre-init / 2 post-init,

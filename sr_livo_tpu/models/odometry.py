@@ -207,11 +207,18 @@ def _sweep_core(state: EskfState,
 
     state_upd, summary = _update(nb_voxels)
     if cfg.retry_wider_neighborhood:
-        # Failure recovery (see LivoConfig.retry_wider_neighborhood):
-        # re-run once over the widened neighborhood; executes only when
-        # the first update failed.
+        # Failure/weak-solve recovery (see LivoConfig.retry_wider_
+        # neighborhood): re-run once over the widened neighborhood when
+        # the update failed OR solved on fewer than `min_num_residuals`
+        # rows — the degenerate-view regime (long-range wall viewing,
+        # sparse far voxels) where a 125-voxel neighborhood multiplies
+        # the usable neighbors.  This gives the otherwise reference-dead
+        # min_num_residuals knob (parameters.h:42) real semantics as the
+        # weakness threshold.  The branch executes only when triggered.
+        strong = summary.success & (
+            summary.num_residuals >= icp.min_num_residuals)
         state_upd, summary = jax.lax.cond(
-            summary.success,
+            strong,
             lambda _: (state_upd, summary),
             lambda _: _update(nb_voxels + 1),
             operand=None)
