@@ -9,7 +9,7 @@ registration health for:
 
   * r3live, 60 s, 10 Hz images x {cache_association, wire_quantization}
   * ntu, 60 s, 10 Hz images
-  * r3live AGGRESSIVE motion (~5 m/s peak, ~2 rad/s yaw), 30 s
+  * r3live AGGRESSIVE motion (~3.4 m/s peak, ~1.7 rad/s yaw), 30 s
   * r3live REVISIT loop trajectory with the MappingBackend attached
     (windowed BA + loop closure + feedback_to_filter=True end-to-end)
   * r3live with an image DROPOUT window forcing gap-fill sweeps

@@ -84,6 +84,9 @@ def compute_budgets(cfg: LivoConfig, n: int) -> dict:
     N, F, Q = sh.max_sweep_points, sh.max_frame_points, sh.max_keypoints
     Ns = N // n
     dup = 2.0                        # halo-corner insert duplication bound
+    # per-shard insert work honors the single-chip insert budget
+    # semantics (vm.insert budget=max_insert_points caps candidates)
+    I = min(F, sh.max_insert_points) if sh.max_insert_points else F
     return dict(
         Ns=Ns,
         B2=min(Ns, head(Ns / n)),                    # frame route / dest
@@ -93,7 +96,7 @@ def compute_budgets(cfg: LivoConfig, n: int) -> dict:
         B4=min(Q, rup(Q / n / n * slack + 32)),      # query route / dest
         K4=min(Q, rup(Q / n * max(slack / 1.6, 1.0) + 32)),  # local queries
         B5=min(F, rup(dup * F / n / n * slack + 32)),  # insert route / dest
-        W_ins=min(2 * F, rup(dup * F / n * max(slack / 2.7, 1.0) + 64)),
+        W_ins=min(2 * I, rup(dup * I / n * max(slack / 2.7, 1.0) + 64)),
         local_capacity=max(2 * sh.map_capacity // n, 1 << 10),
     )
 
