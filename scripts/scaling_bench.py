@@ -151,21 +151,37 @@ def pershard_budgets(cfg, n):
     return compute_budgets(cfg, n)
 
 
-def comm_model(b, n, iters=6):
-    """Per-sweep collective cost from exact buffer sizes."""
-    a2a_bytes = n * (b["B2"] * 21 + b["B3"] * 21 + b["B4"] * 17
-                     + b["B5"] * 17)
-    ag_bytes = n * (8 + b["K4"] * 4 + iters * b["K4"])
+def comm_model(b, n, iters=6, cap=False):
+    """Per-sweep collective cost from exact buffer sizes.
+
+    Round-3 collective inventory: 4 all_to_alls (validity packed into
+    the row matrices), 2 scalar count all_gathers, one packed psum per
+    IEKF iteration (+1 rank/good all_gather per iteration when the
+    residual cap is on), and ONE fused output psum."""
+    a2a_bytes = n * (b["B2"] * 25 + b["B3"] * 25 + b["B4"] * 21
+                     + b["B5"] * 21)
+    ag_bytes = n * 8 + (n * b["K4"] * 5 * iters if cap else 0)
     psum_bytes = iters * 43 * 4 * 2
-    out_bytes = 0  # output psums excluded: overlap with next-frame host work
-    n_coll = 8 + 4 + 2 * iters + 3
+    out_bytes = 0  # output psum overlaps next-frame host work
+    n_coll = 4 + 2 + 1 + iters * (2 if cap else 1)
     return (a2a_bytes + ag_bytes + psum_bytes + out_bytes) / ICI_BW \
         + n_coll * COLL_LAT
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the per-shard proxy programs on the real "
+                         "TPU chip (skips the virtual-device walls; "
+                         "writes SCALING_r03_tpu.json).  The CPU fit "
+                         "over-weights sort/gather stages relative to "
+                         "the target hardware; this mode measures the "
+                         "actual per-shard compute the projection needs.")
+    args = ap.parse_args()
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     from sr_livo_tpu.config import LivoConfig
     from sr_livo_tpu.models.odometry import LioEngine
     from sr_livo_tpu.parallel import mesh as mesh_mod
@@ -245,14 +261,38 @@ def main():
         print(f"[scaling] weak per-shard (n={n}, {n}x workload): "
               f"{t*1e3:.2f} ms", file=sys.stderr)
 
-    # 5. raw virtual-device walls (honest floor, round-2 style)
+    # 5. raw virtual-device walls (honest floor, round-2 style;
+    #    CPU-only — the TPU has one physical chip)
     t_virtual = {}
-    for n in (1, 2, 8):
-        t_virtual[n] = time_engine(
-            lambda n=n: ShardedLioEngine(cfg, mesh_mod.make_mesh(n)),
-            sweeps, repeats=2)
-        print(f"[scaling] virtual {n}-device wall: "
-              f"{t_virtual[n]*1e3:.2f} ms", file=sys.stderr)
+    if not args.tpu:
+        for n in (1, 2, 8):
+            t_virtual[n] = time_engine(
+                lambda n=n: ShardedLioEngine(cfg, mesh_mod.make_mesh(n)),
+                sweeps, repeats=2)
+            print(f"[scaling] virtual {n}-device wall: "
+                  f"{t_virtual[n]*1e3:.2f} ms", file=sys.stderr)
+
+    # 4b. SATURATING weak point: per-chip workload large enough that
+    #     the step is compute-bound rather than dispatch/latency-bound
+    #     (8x base per chip; global workload = 64x at n=8)
+    cfg8 = base_cfg(scale=8)
+    sweeps8 = build_sweeps(cfg8, tile=8)
+    t_single8 = time_engine(lambda: LioEngine(cfg8), sweeps8)
+    print(f"[scaling] single-chip at 8x workload: {t_single8*1e3:.2f} ms",
+          file=sys.stderr)
+    cfg64 = base_cfg(scale=64)
+    b64 = pershard_budgets(cfg64, 8)
+    ov64 = dict(b64)
+    for k in ("B2", "B3", "B4", "B5"):
+        ov64[k] = b64[k] * 8
+    sweeps64 = build_sweeps(cfg64, n=4, tile=64)
+    t_weak64 = time_engine(
+        lambda: ShardedLioEngine(cfg64, mesh1, budget_override=ov64),
+        sweeps64, repeats=2)
+    print(f"[scaling] weak per-shard (n=8, 64x global = 8x/chip): "
+          f"{t_weak64*1e3:.2f} ms", file=sys.stderr)
+    comm64 = comm_model(b64, 8)
+    eff_weak_sat = t_single8 / (t_weak64 + comm64)
 
     eff_strong = {}
     for n in (2, 4, 8):
@@ -264,8 +304,9 @@ def main():
         eff_weak[n] = t_single / (t_weak[n] + comm)
 
     out = {
-        "backend": "cpu (1-device mesh per-shard programs; "
-                   "collectives modeled analytically)",
+        "backend": ("tpu" if args.tpu else "cpu")
+                   + " (1-device mesh per-shard programs; "
+                     "collectives modeled analytically)",
         "physical_cores": os.cpu_count(),
         "step_ms_single_chip": round(t_single * 1e3, 3),
         "step_ms_pershard": {n: round(t * 1e3, 3)
@@ -283,6 +324,12 @@ def main():
                            3)},
         "efficiency_strong": {n: round(e, 3) for n, e in eff_strong.items()},
         "efficiency_weak": {n: round(e, 3) for n, e in eff_weak.items()},
+        "saturating_weak_8": {
+            "per_chip_workload": "8x base (global 64x over 8 chips)",
+            "step_ms_single_chip_8x": round(t_single8 * 1e3, 3),
+            "step_ms_pershard": round(t_weak64 * 1e3, 3),
+            "comm_ms": round(comm64 * 1e3, 3),
+            "efficiency": round(eff_weak_sat, 3)},
         "note": "t_pershard(n) is the EXACT per-shard program of an "
                 "n-shard run (budget_override on a 1-device mesh, where "
                 "collectives are identities) — real compute, no "
@@ -294,7 +341,8 @@ def main():
                 "walls serialize all shards onto the 2 physical cores "
                 "and are floors, not estimates.",
     }
-    with open(os.path.join(ROOT, "SCALING_r03.json"), "w") as f:
+    fname = "SCALING_r03_tpu.json" if args.tpu else "SCALING_r03.json"
+    with open(os.path.join(ROOT, fname), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 

@@ -423,20 +423,26 @@ class ShardedLioEngine:
             odo.min_distance_points, sh.map_max_probe)
 
         # 8. Re-assemble replicated outputs in the exact single-chip
-        #    layout: scatter segments by global rank + psum.
+        #    layout: scatter segments by global rank, then ONE psum for
+        #    everything (collective launch latency dominates small
+        #    reductions).
         F = sh.max_frame_points
         tgt = jnp.where(seg_val, r_f, F)
-        frame_world_g = jax.lax.psum(
-            jnp.zeros((F, 3), frame_world_s.dtype).at[tgt].set(
-                frame_world_s, mode="drop", unique_indices=True), MAP_AXIS)
-        frame_valid_g = jax.lax.psum(
-            jnp.zeros((F,), jnp.float32).at[tgt].set(
-                1.0, mode="drop", unique_indices=True), MAP_AXIS) > 0.5
+        out_pack = jnp.zeros((F, 5), frame_world_s.dtype)
+        out_pack = out_pack.at[tgt, 0:3].set(
+            frame_world_s, mode="drop", unique_indices=True)
+        out_pack = out_pack.at[tgt, 3].set(1.0, mode="drop",
+                                           unique_indices=True)
         acc_tgt = jnp.where(ins_val & accepted, ins_rf, F)
-        inserted_g = jax.lax.psum(
-            jnp.zeros((F,), jnp.float32).at[acc_tgt].set(
-                1.0, mode="drop", unique_indices=True), MAP_AXIS) > 0.5
-        overflow = jax.lax.psum(overflow, MAP_AXIS)
+        out_pack = out_pack.at[acc_tgt, 4].set(1.0, mode="drop")
+        ovf_row = jnp.zeros((1, 5), out_pack.dtype).at[0, 0].set(
+            overflow.astype(out_pack.dtype))
+        out_pack = jax.lax.psum(
+            jnp.concatenate([out_pack, ovf_row], axis=0), MAP_AXIS)
+        frame_world_g = out_pack[:F, 0:3]
+        frame_valid_g = out_pack[:F, 3] > 0.5
+        inserted_g = out_pack[:F, 4] > 0.5
+        overflow = out_pack[F, 0].astype(jnp.int32)
 
         summary = summary._replace(success=success)
         return SweepOutput(state=state_new, voxel_map=local_new,
