@@ -152,8 +152,13 @@ def build_bag(tag: str, cache: str, *, duration: float, image_rate: float,
             sweep_rate=10.0,
             dirs_phase=synthetic.lidar_directions_livox(160, 110), **kw)
     else:
-        sim = synthetic.simulate(sweep_rate=20.0, n_azimuth=160, n_rings=16,
-                                 **kw)
+        # 512-azimuth staggered-channel Ouster (OS1-class density; the
+        # stagger keeps all 16 rings through the driver's stream-order
+        # point_filter_num=4 decimation — see lidar_directions_spinning)
+        sim = synthetic.simulate(
+            sweep_rate=20.0,
+            dirs_phase=synthetic.lidar_directions_spinning(
+                512, 16, ring_stagger=True), **kw)
     print(f"[gate] {full} rendered in {time.time() - t0:.0f}s "
           f"({len(sim.images)} images)", file=sys.stderr)
 

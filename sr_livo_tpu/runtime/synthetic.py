@@ -345,9 +345,18 @@ def _log_rot(r):
 
 
 def lidar_directions_spinning(n_azimuth: int = 120, n_rings: int = 16,
-                              fov_up: float = 15.0, fov_down: float = -15.0):
+                              fov_up: float = 15.0, fov_down: float = -15.0,
+                              ring_stagger: bool = False):
     """Velodyne-style unit direction table (n_azimuth * n_rings, 3) +
-    per-point intra-sweep phase in [0, 1)."""
+    per-point intra-sweep phase in [0, 1).
+
+    `ring_stagger=True` rotates the within-column ring order by the
+    column index (like real staggered channel firing): a column-major
+    stream decimated with `point_filter_num` then hits every ring
+    round-robin instead of keeping only every k-th ring — without it,
+    stream-order decimation by 4 reduces a 16-ring sensor to 4 rings
+    and costs vertical observability (measured: 13 cm vs 1 cm ATE on
+    the ntu gate world)."""
     az = np.linspace(0, 2 * np.pi, n_azimuth, endpoint=False)
     el = np.deg2rad(np.linspace(fov_down, fov_up, n_rings))
     azg, elg = np.meshgrid(az, el, indexing="ij")
@@ -355,6 +364,13 @@ def lidar_directions_spinning(n_azimuth: int = 120, n_rings: int = 16,
                   np.cos(elg) * np.sin(azg),
                   np.sin(elg)], axis=-1).reshape(-1, 3)
     phase = np.repeat(az / (2 * np.pi), n_rings)
+    if ring_stagger:
+        rows = np.arange(n_azimuth * n_rings).reshape(n_azimuth, n_rings)
+        for a in range(n_azimuth):
+            rows[a] = np.roll(rows[a], -a)
+        order = rows.reshape(-1)
+        d = d[order]
+        phase = phase[order]
     return d, phase
 
 
