@@ -53,7 +53,8 @@ def main():
     n_seed = 20000
     pts = rng.uniform(-8, 8, (n_seed, 3)).astype(np.float32)
     pts[:, 2] = rng.uniform(0.5, 3, n_seed)
-    vmod.insert_sweep_points(jnp.asarray(pts), jnp.ones(n_seed, bool), 0.1)
+    vmod.insert_sweep_points(jnp.asarray(pts), jnp.ones(n_seed, bool),
+                             jnp.asarray(True), 0.1)
     q_wi = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
     t_wi = jnp.zeros(3, jnp.float32)
     vmod._init_tracks(q_wi, t_wi, 0.1)

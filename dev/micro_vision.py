@@ -75,19 +75,18 @@ def main():
     pts[:, 2] = rng.uniform(0, 3, n_seed)
     pts_dev = jax.device_put(pts)
     ones = jnp.ones(n_seed, bool)
-    vmod.insert_sweep_points(pts_dev, ones, 0.1)
+    vmod.insert_sweep_points(pts_dev, ones, jnp.asarray(True), 0.1)
     q_wi = jax.device_put(np.array([1.0, 0, 0, 0], np.float32))
     t_wi = jax.device_put(np.zeros(3, np.float32))
     vmod._init_tracks(q_wi, t_wi, 0.1)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    dt = jax.device_put(np.float32(0.033))
-    ot = jax.device_put(np.float32(0.2))
+    scal = jax.device_put(np.array([0.033, 0.2], np.float32))
     nv = jax.device_put(np.int32(100))
 
     def run_vision():
         cam, cmap_, trk, a, b = _vision_step(
             vmod.camera, vmod.color_map, vmod.tracks, pyr, pyr, rgb,
-            q_wi, t_wi, dt, ot, nv, k1, k2,
+            q_wi, t_wi, scal, nv, k1,
             lk_params=vmod.lk_params, cols=vmod.cols, rows=vmod.rows,
             track_grid=vmod.track_grid,
             max_render_points=cfg.shapes.max_render_points,

@@ -123,7 +123,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(N):
         vision.insert_sweep_points(out.frame_pts_world, out.frame_valid,
-                                   m.time_image)
+                                   out.summary.success, m.time_image)
     jax.block_until_ready(vision.color_map.reg)
     print(f"color_insert amortized: {(time.perf_counter()-t0)/N*1e3:.2f} ms")
 
@@ -161,15 +161,15 @@ def main():
                 max_render_points=cfg.shapes.max_render_points,
                 estimate_intrinsic=True, estimate_extrinsic=True)
     outv = _vision_step(cam, cmap, tracks, pyr, pyr, rgb, qq, pp,
-                        jnp.float32(0.1), jnp.float32(m.time_image),
-                        jnp.int32(1), k1, k2, **args)
+                        jnp.asarray([0.1, m.time_image], jnp.float32),
+                        jnp.int32(1), k1, **args)
     jax.block_until_ready(outv[0].intr)
     t0 = time.perf_counter()
     cam2, cmap2, tracks2 = outv[0], outv[1], outv[2]
     for _ in range(N):
         outv = _vision_step(cam2, cmap2, tracks2, pyr, pyr, rgb, qq, pp,
-                            jnp.float32(0.1), jnp.float32(m.time_image),
-                            jnp.int32(1), k1, k2, **args)
+                            jnp.asarray([0.1, m.time_image], jnp.float32),
+                            jnp.int32(1), k1, **args)
         cam2, cmap2, tracks2 = outv[0], outv[1], outv[2]
     jax.block_until_ready(outv[0].intr)
     print(f"vis_step amortized: {(time.perf_counter()-t0)/N*1e3:.2f} ms")

@@ -203,7 +203,8 @@ def main():
         n_seed = 20000
         pts = rng.uniform(-8, 8, (n_seed, 3)).astype(np.float32)
         pts[:, 2] = rng.uniform(0, 3, n_seed)
-        vmod.insert_sweep_points(jnp.asarray(pts), jnp.ones(n_seed, bool), 0.1)
+        vmod.insert_sweep_points(jnp.asarray(pts), jnp.ones(n_seed, bool),
+                                 jnp.asarray(True), 0.1)
         q_wi = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
         t_wi = jnp.zeros(3, jnp.float32)
         vmod._init_tracks(q_wi, t_wi, 0.1)
@@ -213,11 +214,11 @@ def main():
         def run_vision():
             cam, cmap_, trk, a, b = _vision_step(
                 vmod.camera, vmod.color_map, vmod.tracks, pyr, pyr, rgb,
-                q_wi, t_wi, jnp.float32(0.033), jnp.float32(0.2),
-                jnp.int32(100), k1, k2,
+                q_wi, t_wi, jnp.asarray([0.033, 0.2], jnp.float32),
+                jnp.int32(100), k1,
                 lk_params=vmod.lk_params, cols=vmod.cols, rows=vmod.rows,
                 track_grid=vmod.track_grid,
-                max_render_voxels=cfg.shapes.max_render_voxels,
+                max_render_points=cfg.shapes.max_render_points,
                 estimate_intrinsic=True, estimate_extrinsic=True)
             vmod.color_map, vmod.tracks = cmap_, trk
             return a

@@ -49,15 +49,16 @@ def main():
     fh = jnp.asarray(rng.randint(0, 2 ** 31 - 1, Ns), jnp.int32)
     gidx = jnp.arange(Ns, dtype=jnp.int32)
     val = jnp.ones(Ns, bool)
-    f = jax.jit(lambda a, c, v: routing.lex_sort_dedup(a, c, v))
-    print(f"lex_sort_dedup Ns={Ns}: {timeit(f, fh, gidx, val)*1e3:.3f} ms")
+    from sr_livo_tpu.ops.frame import bucket_dedup_min
+    f = jax.jit(lambda a, c, v: bucket_dedup_min(a, c, v))
+    print(f"bucket_dedup_min Ns={Ns}: {timeit(f, fh, gidx, val)*1e3:.3f} ms")
 
     # stage: received dedup at n*B2
     m2 = n * b["B2"]
     fh2 = jnp.asarray(rng.randint(0, 2 ** 31 - 1, m2), jnp.int32)
     gx2 = jnp.asarray(rng.randint(0, 8192, m2), jnp.int32)
     v2 = jnp.ones(m2, bool)
-    print(f"lex_sort_dedup n*B2={m2}: {timeit(f, fh2, gx2, v2)*1e3:.3f} ms")
+    print(f"bucket_dedup_min n*B2={m2}: {timeit(f, fh2, gx2, v2)*1e3:.3f} ms")
 
     # stage: pack_for_exchange at Ns
     rows = routing.pack_cols(pts[:Ns], fh, gidx)

@@ -284,15 +284,24 @@ static bool parse_header(const uint8_t* buf, size_t len,
     return pos == len;
 }
 
+// Framing sanity caps: a lying length field in a corrupt/malicious bag
+// must produce a clean error, not a multi-GB allocation or bad_alloc
+// crash.  ROS headers are tiny; record payloads are bounded by chunk
+// sizes real writers produce.
+static const uint32_t MAX_HEADER_LEN = 1u << 20;        // 1 MB
+static const uint32_t MAX_RECORD_LEN = 1u << 29;        // 512 MB
+
 static Record read_record(FILE* f) {
     Record r;
     uint32_t hlen;
     if (!read_exact(f, &hlen, 4)) return r;
+    if (hlen > MAX_HEADER_LEN) return r;
     std::vector<uint8_t> hbuf(hlen);
     if (!read_exact(f, hbuf.data(), hlen)) return r;
     if (!parse_header(hbuf.data(), hlen, r.header)) return r;
     uint32_t dlen;
     if (!read_exact(f, &dlen, 4)) return r;
+    if (dlen > MAX_RECORD_LEN) return r;
     r.data.resize(dlen);
     if (dlen && !read_exact(f, r.data.data(), dlen)) return r;
     r.ok = true;
@@ -398,7 +407,12 @@ int livo_bag_next(void* handle, int32_t* out_conn, double* out_time,
         h->pending.clear();
         h->pending_idx = 0;
         Record r = read_record(h->f);
-        if (!r.ok) return feof(h->f) ? 0 : -1;
+        if (!r.ok) {
+            if (feof(h->f)) return 0;
+            h->error = "malformed record framing (truncated record, "
+                       "oversized length field, or bad header)";
+            return -1;
+        }
         uint8_t op = header_op(r);
         if (op == 0x07 || op == 0x02) {
             // unchunked connection/message at top level
@@ -431,6 +445,10 @@ int livo_bag_next(void* handle, int32_t* out_conn, double* out_time,
                 comp = std::string(c->second.begin(), c->second.end());
             uint32_t raw_size = header_num<uint32_t>(r, "size",
                                                      (uint32_t)r.data.size());
+            if (raw_size > MAX_RECORD_LEN) {
+                h->error = "chunk size field exceeds sanity cap";
+                return -1;
+            }
             if (comp == "none") {
                 process_embedded(h, r.data.data(), r.data.size());
             } else if (comp == "bz2") {

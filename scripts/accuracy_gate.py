@@ -205,6 +205,33 @@ def build_bag(tag: str, cache: str, *, duration: float, image_rate: float,
     return bag
 
 
+def build_compressed_bag(src_bag: str, image_topic: str) -> str:
+    """Transcode a bag's raw images to sensor_msgs/CompressedImage (JPEG)
+    — exercises the r3live_compressed decode path end-to-end
+    (drivers.parse_compressed_image; reference r3live_compressed.yaml)."""
+    from sr_livo_tpu.runtime import drivers, native
+    dst = src_bag.replace(".bag", "_jpeg.bag")
+    if os.path.exists(dst):
+        return dst
+    rbw = _bag_writer()
+    w = rbw.BagWriter(dst)
+    for topic, msg_type, t, payload in native.BagReader(src_bag):
+        if topic == image_topic:
+            _stamp, img = drivers.parse_image(payload)
+            w.write_message(topic + "/compressed",
+                            "sensor_msgs/CompressedImage", t,
+                            rbw.ser_compressed_image(t, img))
+        else:
+            w.write_message(topic, msg_type, t, payload)
+    w.close()
+    src_gt = src_bag.replace(".bag", "_gt.npz")
+    dst_gt = dst.replace(".bag", "_gt.npz")
+    if not os.path.exists(dst_gt):
+        import shutil
+        shutil.copyfile(src_gt, dst_gt)
+    return dst
+
+
 def build_dropout_bag(src_bag: str, image_topic: str,
                       window: tuple) -> str:
     """Copy a bag, dropping image messages inside [t0, t1) — forces the
@@ -296,23 +323,33 @@ def run_profile(yaml_path: str, bag: str, topics, image_type: str,
     return out
 
 
+R3_SEEDS = (11, 111, 211)
+NTU_SEEDS = (13, 113, 213)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--out", default=os.path.join(ROOT, "ACCURACY_r03.json"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "ACCURACY_r04.json"))
     ap.add_argument("--quick", action="store_true",
                     help="12 s smoke run with relaxed track bounds")
     ap.add_argument("--duration", type=float, default=None)
+    ap.add_argument("--seeds", type=int, default=None,
+                    help="noise-seed realizations per standard profile "
+                         "(default 3 full / 1 quick): single-seed ATEs "
+                         "near the bound are noise-dominated, so the "
+                         "standard checks gate on the seed MEAN")
     ap.add_argument("--strict", action="store_true",
                     help="exit 1 when a bound check fails (CI gating)")
     ap.add_argument("--prebuild", default=None,
-                    help="build ONE bag (r3live|ntu|agg|rev) and exit — "
-                         "lets callers render the four bags in parallel "
-                         "processes before the main run")
+                    help="build ONE bag (r3live[N]|ntu[N]|agg|rev, N = "
+                         "seed index) and exit — lets callers render the "
+                         "bags in parallel processes before the main run")
     args = ap.parse_args()
     if not args.prebuild:
         _force_cpu()      # prebuild renders on the default (TPU) backend
 
     duration = args.duration or (12.0 if args.quick else 60.0)
+    n_seeds = args.seeds or (1 if args.quick else 3)
     image_rate = 10.0
     cache = os.path.join(ROOT, ".accuracy_cache")
     os.makedirs(cache, exist_ok=True)
@@ -325,14 +362,6 @@ def main():
 
     uj = bool(args.prebuild)
     builders = {
-        "r3live": lambda: build_bag(
-            "r3live2", cache, duration=duration, image_rate=image_rate,
-            traj_kind="standard", sensor="livox", calib=R3_CALIB, seed=11,
-            use_jax=uj),
-        "ntu": lambda: build_bag(
-            "ntu", cache, duration=duration, image_rate=image_rate,
-            traj_kind="standard_lowyaw", sensor="ouster", calib=NTU_CALIB,
-            seed=13, use_jax=uj),
         "agg": lambda: build_bag(
             "r3live_agg", cache, duration=agg_dur, image_rate=image_rate,
             traj_kind="aggressive", sensor="livox", calib=R3_CALIB, seed=17,
@@ -342,71 +371,116 @@ def main():
             traj_kind="revisit", sensor="livox", calib=R3_CALIB, seed=19,
             use_jax=uj),
     }
+    for k in range(max(n_seeds, 1)):
+        sfx = "" if k == 0 else str(k)
+        builders[f"r3live{sfx}"] = lambda k=k: build_bag(
+            "r3live2" if k == 0 else f"r3live2s{k}", cache,
+            duration=duration, image_rate=image_rate, traj_kind="standard",
+            sensor="livox", calib=R3_CALIB, seed=R3_SEEDS[k], use_jax=uj)
+        builders[f"ntu{sfx}"] = lambda k=k: build_bag(
+            "ntu" if k == 0 else f"ntus{k}", cache,
+            duration=duration, image_rate=image_rate,
+            traj_kind="standard_lowyaw", sensor="ouster", calib=NTU_CALIB,
+            seed=NTU_SEEDS[k], use_jax=uj)
     if args.prebuild:
         builders[args.prebuild]()
         return
 
-    bag_r3 = builders["r3live"]()
-    bag_ntu = builders["ntu"]()
+    bags_r3 = [builders[f"r3live{'' if k == 0 else k}"]()
+               for k in range(n_seeds)]
+    bags_ntu = [builders[f"ntu{'' if k == 0 else k}"]()
+                for k in range(n_seeds)]
     bag_agg = builders["agg"]()
     bag_rev = builders["rev"]()
     drop_win = (duration * 0.35, duration * 0.45)
-    bag_drop = build_dropout_bag(bag_r3, r3_topics[2], drop_win)
+    bag_drop = build_dropout_bag(bags_r3[0], r3_topics[2], drop_win)
+    bag_jpeg = build_compressed_bag(bags_r3[0], r3_topics[2])
 
     results = {}
 
     def go(name, yaml_path, bag, topics, cache_assoc=True, wire=True,
-           with_backend=False):
+           with_backend=False, image_type="RGB8"):
         print(f"[gate] {name} ...", file=sys.stderr)
-        results[name] = run_profile(yaml_path, bag, topics, "RGB8",
+        results[name] = run_profile(yaml_path, bag, topics, image_type,
                                     cache_assoc, wire,
                                     with_backend=with_backend)
         print(f"[gate]   -> {results[name]}", file=sys.stderr)
 
-    go("r3live", r3_yaml, bag_r3, r3_topics)
-    go("r3live_nocache", r3_yaml, bag_r3, r3_topics, cache_assoc=False)
-    go("r3live_nowire", r3_yaml, bag_r3, r3_topics, wire=False)
-    go("ntu", ntu_yaml, bag_ntu, ntu_topics)
+    for k, bag in enumerate(bags_r3):
+        sfx = "" if k == 0 else f"_s{k}"
+        go(f"r3live{sfx}", r3_yaml, bag, r3_topics)
+        go(f"r3live_nowire{sfx}", r3_yaml, bag, r3_topics, wire=False)
+    go("r3live_nocache", r3_yaml, bags_r3[0], r3_topics, cache_assoc=False)
+    for k, bag in enumerate(bags_ntu):
+        sfx = "" if k == 0 else f"_s{k}"
+        go(f"ntu{sfx}", ntu_yaml, bag, ntu_topics)
     go("aggressive", r3_yaml, bag_agg, r3_topics)
     go("revisit_backend", r3_yaml, bag_rev, r3_topics, with_backend=True)
     go("dropout", r3_yaml, bag_drop, r3_topics)
+    go("r3live_compressed", r3_yaml, bag_jpeg,
+       (r3_topics[0], r3_topics[1], r3_topics[2] + "/compressed"),
+       image_type="Compressed")
 
-    # Bounds: the 60 s full run carries the accuracy claims: 8 cm for
-    # standard sequences (drift over a 60 s horizon; SR-LIVO-class
-    # systems report decimeter-level ATE on real 60 s+ sequences) and
-    # 10 cm for aggressive/revisit.  --quick (12 s) is a CI SMOKE test:
-    # over half of a 12 s run is the stationary IMU-init window, so the
-    # short post-init segment is transient-dominated and gets loose
-    # functional bounds (0.2 m) — regressions of the mechanisms, not of
-    # steady-state accuracy, are what it guards.
+    # Bounds.  The 60 s full run carries the accuracy claims; standard
+    # profiles are now gated on the MEAN over `n_seeds` noise
+    # realizations (mean < 6 cm, every seed < 8 cm) — a single seed
+    # 1-2 cm under the bound is noise, a seed mean is evidence.
+    # Aggressive/revisit keep the single-seed 10 cm hard-motion bound.
+    # --quick (12 s) is a CI SMOKE test: over half of a 12 s run is the
+    # stationary IMU-init window, so the short post-init segment is
+    # transient-dominated and gets loose functional bounds (0.2 m).
     bound = 0.20 if args.quick else 0.08
+    bound_mean = 0.20 if args.quick else 0.06
     bound_hard = 0.20 if args.quick else 0.10
     min_tracks = 60.0 if args.quick else 150.0
+
+    def seed_names(prefix):
+        return [prefix + ("" if k == 0 else f"_s{k}")
+                for k in range(n_seeds)]
+
+    def seed_stats(prefix, field="ate_m"):
+        vals = [results[nm][field] for nm in seed_names(prefix)]
+        return dict(per_seed=vals, mean=round(float(np.mean(vals)), 4),
+                    max=round(float(np.max(vals)), 4),
+                    spread=round(float(np.max(vals) - np.min(vals)), 4))
+
+    r3_ate = seed_stats("r3live")
+    ntu_ate = seed_stats("ntu")
+    nowire_ate = seed_stats("r3live_nowire")
+    r3_tracks = seed_stats("r3live", "mean_tracks")
+    r3_gate = seed_stats("r3live", "track_gate_pct")
+    # Wire-quantization ablation across seeds: per-seed signed deltas.
+    # Round-3 saw nowire WORSE than wire on its single seed; if the sign
+    # flips across seeds the effect is chaotic run-to-run sensitivity
+    # (quantization as perturbation), not a bias in either path.
+    wire_deltas = [round(results[b]["ate_m"] - results[a]["ate_m"], 4)
+                   for a, b in zip(seed_names("r3live"),
+                                   seed_names("r3live_nowire"))]
     r3 = results["r3live"]
     cache_delta = abs(r3["ate_m"] - results["r3live_nocache"]["ate_m"])
-    wire_delta = abs(r3["ate_m"] - results["r3live_nowire"]["ate_m"])
-    rendered_runs = [v for v in results.values() if v["rendered"] > 0]
+
     checks = {
-        "ate_standard": bool(max(r3["ate_m"],
-                                 results["r3live_nocache"]["ate_m"],
-                                 results["r3live_nowire"]["ate_m"],
-                                 results["ntu"]["ate_m"],
-                                 results["dropout"]["ate_m"]) < bound),
+        "ate_standard_mean": bool(
+            max(r3_ate["mean"], ntu_ate["mean"], nowire_ate["mean"])
+            < bound_mean),
+        "ate_standard_every_seed": bool(
+            max(r3_ate["max"], ntu_ate["max"], nowire_ate["max"],
+                results["dropout"]["ate_m"],
+                results["r3live_compressed"]["ate_m"],
+                results["r3live_nocache"]["ate_m"]) < bound),
         "ate_hard_motion": bool(max(results["aggressive"]["ate_m"],
                                     results["revisit_backend"]["ate_m"])
                                 < bound_hard),
         "registration_pct": bool(min(
             v["registered_pct"] for v in results.values())
             >= (0.90 if args.quick else 0.95)),
-        # Design-point engagement: at least one rendered run sustains
-        # >=150 mean LK survivors with the 30-track gate open on >=90%
-        # of frames (the reference's <=300-track operating point).  The
-        # high-yaw standard trajectory that the Livox cone needs for
-        # LIO observability costs LK survivorship (~50 px inter-frame
-        # flow), so the design point shows on the slow-yaw profiles.
-        "vision_design_point": bool(any(
-            v["mean_tracks"] >= min_tracks and v["track_gate_pct"] >= 0.9
-            for v in rendered_runs)),
+        # Design-point engagement on the FLAGSHIP r3live profile
+        # specifically (round-3 allowed any profile; VERDICT r3 #4):
+        # seed-mean LK survivors >= 150 with the 30-track gate open on
+        # >= 90% of frames (reference operating point: <=300 tracks,
+        # imageProcessing.cpp:14).
+        "vision_design_point_r3live": bool(
+            r3_tracks["mean"] >= min_tracks and r3_gate["mean"] >= 0.9),
         # ...and every rendered standard profile stays ENGAGED (mean
         # survivors >= 2x the 30-track gate, gate open >= 60% of frames)
         "vision_engaged_all": bool(all(
@@ -422,16 +496,24 @@ def main():
             results["revisit_backend"]["loop_closures"] >= 1
             and results["revisit_backend"]["feedback_applied"] >= 1)),
         "gap_fill_exercised": bool(results["dropout"]["gap_fill"] >= 1),
+        "compressed_decode_exercised": bool(
+            results["r3live_compressed"]["rendered"] >= 1),
     }
     out = {
         "duration_s": duration,
         "quick": bool(args.quick),
+        "n_seeds": n_seeds,
         "bound_m": bound,
+        "bound_mean_m": bound_mean,
         "bound_hard_m": bound_hard,
         "min_mean_tracks": min_tracks,
         "profiles": results,
+        "seed_stats": {"r3live_ate": r3_ate, "ntu_ate": ntu_ate,
+                       "r3live_nowire_ate": nowire_ate,
+                       "r3live_tracks": r3_tracks,
+                       "r3live_gate_pct": r3_gate},
         "cache_association_delta_m": round(cache_delta, 4),
-        "wire_quantization_delta_m": round(wire_delta, 4),
+        "wire_quantization_deltas_m": wire_deltas,
         "checks": checks,
         "all_pass": bool(all(checks.values())),
     }

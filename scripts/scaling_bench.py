@@ -24,7 +24,7 @@ collective model, instead of round-2's emulation-dominated fit:
   (they serialize all shards onto 2 physical cores and collective
   EMULATION dominates — a floor, not an estimate; see round-2 note).
 
-Outputs SCALING_r03.json:
+Outputs SCALING_r04.json:
   * strong scaling: efficiency_strong_n = t_single /
       (n * (t_pershard(n) + comm(n)))  — same workload split n ways.
   * weak scaling:   efficiency_weak_n = t_single /
@@ -154,13 +154,18 @@ def pershard_budgets(cfg, n):
 def comm_model(b, n, iters=6, cap=False):
     """Per-sweep collective cost from exact buffer sizes.
 
-    Round-3 collective inventory: 4 all_to_alls (validity packed into
-    the row matrices), 2 scalar count all_gathers, one packed psum per
-    IEKF iteration (+1 rank/good all_gather per iteration when the
-    residual cap is on), and ONE fused output psum."""
+    Round-4 collective inventory: 4 all_to_alls (validity packed into
+    the row matrices), 2 rank-histogram psums (N_tot + F floats,
+    replacing round-3's scalar all_gathers AND its per-iteration
+    rank/good all_gather), one packed psum per IEKF iteration (+1 (Q,)
+    good-flag histogram psum per iteration when the residual cap is
+    on), one (F,) insert-gate histogram psum when max_insert_points
+    caps globally, and ONE fused output psum."""
     a2a_bytes = n * (b["B2"] * 25 + b["B3"] * 25 + b["B4"] * 21
                      + b["B5"] * 21)
-    ag_bytes = n * 8 + (n * b["K4"] * 5 * iters if cap else 0)
+    N_tot = b["Ns"] * n
+    ag_bytes = (N_tot + b["F_seg"] * n) * 4 * 2 \
+        + (b["K4"] * 4 * 2 * iters if cap else 0)
     psum_bytes = iters * 43 * 4 * 2
     out_bytes = 0  # output psum overlaps next-frame host work
     n_coll = 4 + 2 + 1 + iters * (2 if cap else 1)
@@ -174,7 +179,7 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="run the per-shard proxy programs on the real "
                          "TPU chip (skips the virtual-device walls; "
-                         "writes SCALING_r03_tpu.json).  The CPU fit "
+                         "writes SCALING_r04_tpu.json).  The CPU fit "
                          "over-weights sort/gather stages relative to "
                          "the target hardware; this mode measures the "
                          "actual per-shard compute the projection needs.")
@@ -341,7 +346,7 @@ def main():
                 "walls serialize all shards onto the 2 physical cores "
                 "and are floors, not estimates.",
     }
-    fname = "SCALING_r03_tpu.json" if args.tpu else "SCALING_r03.json"
+    fname = "SCALING_r04_tpu.json" if args.tpu else "SCALING_r04.json"
     with open(os.path.join(ROOT, fname), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

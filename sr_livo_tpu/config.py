@@ -222,6 +222,14 @@ class ShapeOptions:
     # knob.  Overflow is dropped deterministically and counted in
     # SweepOutput.route_overflow.
     shard_route_slack: float = 4.0
+    # Separate, tighter slack for the per-shard IEKF query batch (K4):
+    # unlike the routing BUFFERS above (cheap memory), K4 multiplies real
+    # per-iteration compute (kNN gathers + plane rows) on every shard
+    # every sweep, so spatial load imbalance beyond this factor drops
+    # keypoints for the sweep (counted in route_overflow) instead of
+    # taxing the steady state.  Raise it for worlds where one map block
+    # persistently dominates the view.
+    shard_query_slack: float = 2.0
 
 
 @dataclass

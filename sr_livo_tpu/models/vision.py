@@ -165,11 +165,14 @@ class VisionModule:
             self._pre_jit = jax.jit(self._preprocess_core)
         return self._pre_jit(jnp.asarray(img_u8))
 
-    def preprocess_with_pyramid(self, image: np.ndarray):
+    def preprocess_with_pyramid(self, image: np.ndarray, host_img=None):
         """preprocess + LK pyramid/Scharr precompute fused into ONE
         dispatched program: (rgb, gray, (pyr, dx, dy)).  Separate
-        preprocess and pyramid dispatches each pay tunnel dispatch cost."""
-        img_u8, remapped = self._host_prepare(image)
+        preprocess and pyramid dispatches each pay tunnel dispatch cost.
+        `host_img` = (img_u8, remapped) when _host_prepare already ran on
+        the pipeline's feeder thread."""
+        img_u8, remapped = (host_img if host_img is not None
+                            else self._host_prepare(image))
         if remapped:
             if self._pre_pyr_u8_jit is None:
                 self._pre_pyr_u8_jit = jax.jit(self._preprocess_pyr_from_u8)
@@ -224,14 +227,15 @@ class VisionModule:
         return img_in, False
 
     # -- main per-rendering-frame entry ----------------------------------
-    def process_frame(self, pipeline, meas, sweep_out):
+    def process_frame(self, pipeline, meas, sweep_out, host_img=None):
         state = sweep_out.state
         q_wi, t_wi = state.q, state.p
         obs_time = meas.time_image
         timers = pipeline.timers
 
         with timers.stage("vis_preprocess"):
-            rgb, gray, cur_pyr = self.preprocess_with_pyramid(meas.image)
+            rgb, gray, cur_pyr = self.preprocess_with_pyramid(
+                meas.image, host_img=host_img)
             if timers.sync:
                 jax.block_until_ready(gray)
 
@@ -331,9 +335,20 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     # ---- 1. LK tracking (trackImage, opticalFlowTracker.cpp:111-186) ----
     n_active = jnp.sum(tracks.active)
     track_ok_gate = n_active >= 30
+    ids_c = jnp.clip(tracks.reg_id, 0, registry - 1)
+    # one packed-row gather serves the whole step (pos/rgb/cov/n/vel/out)
+    reg_rows = color_map.reg[ids_c]                         # (M, 16)
+    # constant-velocity LK seed from the stored per-track image velocity
+    # (OPTFLOW_USE_INITIAL_FLOW): absorbs the large inter-frame flow of
+    # fast yaw that a zero seed loses at 10 Hz image rates.  Implausibly
+    # large seeds (stale velocity on re-appearing tracks) are zeroed.
+    seed = reg_rows[:, cm.C_VEL] * dt
+    seed_ok = (jnp.abs(seed[:, 0]) < cols / 8.0) \
+        & (jnp.abs(seed[:, 1]) < rows / 8.0)
+    seed = jnp.where(seed_ok[:, None], seed, 0.0)
     cur_px, status = lk.track_pyramidal(
         prev_imgs, cur_imgs, prev_dx, prev_dy, tracks.px, tracks.active,
-        lk_params)
+        lk_params, init_flow=seed)
     status = status & tracks.active & track_ok_gate
 
     # ---- 2. fundamental RANSAC gate (:144) ----
@@ -345,9 +360,6 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     status = status & uv_ok
     vel = (cur_px - tracks.px) / jnp.maximum(dt, 1e-5)
     vel = jnp.where(dt < 1e-5, jnp.full_like(vel, 1e-3), vel)
-    ids_c = jnp.clip(tracks.reg_id, 0, registry - 1)
-    # one packed-row gather serves the whole step (pos/rgb/cov/n/vel/out)
-    reg_rows = color_map.reg[ids_c]                         # (M, 16)
     reg_rows = reg_rows.at[:, cm.C_VEL].set(
         jnp.where(status[:, None], vel, reg_rows[:, cm.C_VEL]))
     oob = registry + jnp.arange(m, dtype=jnp.int32)

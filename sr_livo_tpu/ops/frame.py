@@ -110,11 +110,68 @@ def _voxel_key(pts: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
     return h & np.int32(0x7FFFFFFE)
 
 
+# Round-salt mixing primes for bucket_dedup_min (int32 bit patterns of
+# 2654435769 and 2246822519) — decorrelate successive probe rounds.
+_R1 = np.int32(-1640531527)
+_R2 = np.int32(-2048144777)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 1).bit_length()
+
+
+def bucket_dedup_min(h: jnp.ndarray, pri: jnp.ndarray, valid: jnp.ndarray,
+                     table_size: int = None) -> jnp.ndarray:
+    """Winner mask of a key-grouped argmin, SORT-FREE: for each distinct
+    key `h` among valid rows, True at the single row with the minimum
+    `pri` (priorities must be unique per row — ranks/indices are).
+
+    TPU-native mechanism (argsort is the slowest op class on TPU —
+    O(N log^2 N) bitonic — and dominates the subsample stages on CPU
+    too): claim rounds on a scatter-min bucket table, the same
+    arbitration pattern as ops.voxel_map.insert.  Each round, every
+    unresolved row probes a round-salted bucket; scatter-min elects the
+    minimum key per bucket, that key's whole group resolves (its min-pri
+    row flagged winner), losers re-probe next round.  At least one
+    contended group resolves per round, so the loop terminates; with
+    `table_size` >= 2x the distinct keys it converges in a handful of
+    rounds.
+    """
+    n = h.shape[0]
+    T = table_size or min(_next_pow2(2 * n), 1 << 21)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    oob = T + idx
+
+    def body(carry):
+        resolved, winner, r = carry
+        live = valid & ~resolved
+        slot = ((h ^ (r * _R1)) * _R2) & np.int32(T - 1)
+        tgt = jnp.where(live, slot, oob)
+        # scatter-MIN tolerates duplicate indices (associative)
+        a = jnp.full((T,), _KEY_INVALID, jnp.int32).at[tgt].min(
+            h, mode="drop")
+        in_grp = live & (a[slot] == h)
+        b = jnp.full((T,), np.int32(0x7FFFFFFF), jnp.int32).at[
+            jnp.where(in_grp, slot, oob)].min(pri, mode="drop")
+        win_r = in_grp & (b[slot] == pri)
+        return resolved | in_grp, winner | win_r, r + 1
+
+    def cond(carry):
+        resolved, _w, _r = carry
+        return jnp.any(valid & ~resolved)
+
+    _res, winner, _r = jax.lax.while_loop(
+        cond, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool),
+                     jnp.int32(0)))
+    return winner
+
+
 def voxel_subsample(key_pts: jnp.ndarray, valid: jnp.ndarray,
                     voxel_size: float, max_out: int,
                     payload: Tuple[jnp.ndarray, ...] = (),
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
-    """Keep one point per voxel, compacted to `max_out` slots.
+    """Keep one point per voxel, compacted to `max_out` slots in STREAM
+    ORDER (ascending input index).
 
     Mirrors subSampleFrame/gridSampling (utility.cpp:167-201): one
     representative per occupied voxel (here: the lowest-index point; the
@@ -123,24 +180,24 @@ def voxel_subsample(key_pts: jnp.ndarray, valid: jnp.ndarray,
     distinct voxels with probability ~N^2/2^33 per sweep (≈1e-4 for 30k
     points), losing at most one representative point; immaterial.
 
+    Sort-free: winner election via bucket_dedup_min claim rounds + a
+    stable cumsum compaction (the round-3 formulation paid two argsorts
+    per call — the slowest op class on TPU and the dominant subsample
+    cost on CPU).  Stream order is also what the sharded engine can
+    reproduce globally without sorting (parallel.sharded_lio).
+
     Returns (points (max_out, 3), valid (max_out,), gathered payload).
     """
     n = key_pts.shape[0]
     h = jnp.where(valid, _voxel_key(key_pts, voxel_size), _KEY_INVALID)
-    order = jnp.argsort(h)
-    h_sorted = h[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), h_sorted[1:] != h_sorted[:-1]])
-    keep_sorted = first & (h_sorted != _KEY_INVALID)
-    # Compact: selected indices first (stable), then truncate to max_out.
-    sel_order = jnp.argsort(~keep_sorted, stable=True)
-    src = order[sel_order]
-    if src.shape[0] < max_out:
-        src = jnp.concatenate(
-            [src, jnp.zeros(max_out - src.shape[0], src.dtype)])
-    src = src[:max_out]
-    n_keep = jnp.sum(keep_sorted)
-    out_valid = jnp.arange(max_out) < n_keep
+    winner = bucket_dedup_min(h, jnp.arange(n, dtype=jnp.int32), valid)
+    rank = jnp.cumsum(winner.astype(jnp.int32)) - 1
+    ok = winner & (rank < max_out)
+    dst = jnp.where(ok, rank, max_out)          # shared OOB slot -> dropped
+    src = jnp.zeros((max_out,), jnp.int32).at[dst].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+    out_valid = jnp.zeros((max_out,), bool).at[dst].set(
+        True, mode="drop", unique_indices=True)
     out_pts = jnp.where(out_valid[:, None], key_pts[src], 0.0)
     out_payload = tuple(
         jnp.where(out_valid.reshape((-1,) + (1,) * (p.ndim - 1)), p[src],

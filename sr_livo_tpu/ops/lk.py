@@ -133,16 +133,25 @@ def track_pyramidal(prev_pyr: Tuple[jnp.ndarray, ...],
                     pts_prev: jnp.ndarray,       # (M, 2) full-res pixels
                     valid: jnp.ndarray,          # (M,) bool
                     params: LkParams = LkParams(),
+                    init_flow: jnp.ndarray = None,   # (M, 2) px seed or None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Track points from prev -> cur through the pyramid (coarse to fine).
 
     Returns (pts_cur (M, 2), status (M,) bool).  Derivatives are of the
     *previous* image per level (reference semantics: the gradient windows
     come from the prev pyramid, lkpyramid.cpp:231-334).
+
+    `init_flow` seeds the coarsest-level iterate at pts_prev + init_flow
+    (OpenCV's OPTFLOW_USE_INITIAL_FLOW): with fast camera yaw the
+    inter-frame flow can exceed what the pyramid can absorb from a zero
+    seed, and the tracker's stored per-point image velocity predicts it
+    well.  A coarse level that fails with the seed falls back to the
+    identity guess (the un-seeded behavior), so a bad seed cannot lose a
+    track the zero seed would have kept beyond that level's vote.
     """
     n_levels = len(prev_pyr)
     scale = 2.0 ** (n_levels - 1)
-    guess = pts_prev / scale
+    guess = (pts_prev if init_flow is None else pts_prev + init_flow) / scale
     status = valid
     for lvl in range(n_levels - 1, -1, -1):
         p_l = pts_prev / (2.0 ** lvl)

@@ -182,6 +182,52 @@ def lookup(vmap: VoxelMap, coords: jnp.ndarray, max_probe: int) -> jnp.ndarray:
     return _resolve(vmap.keys, cand, match_idx, empty_idx, coords, max_probe)
 
 
+def _insert_gate_phase(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
+                       coords: jnp.ndarray, min_distance: float,
+                       max_probe: int):
+    """Phases 1-2 of insert(): one batched probe + the cheap full-batch
+    candidate gate.  Returns (cand_mask, slot, blk_cnt): cand_mask is True
+    for points that would enter the claim/append phases (existing-voxel
+    append passing min-distance and capacity, or a new-voxel claim with
+    probe room); slot is the resolved block (-1 = absent)."""
+    K = vmap.block_capacity
+    n = pts.shape[0]
+    # Phase 1 — one batched probe resolves every point whose voxel already
+    # exists (the common case on a warm map).
+    cand, match_idx, empty_idx = _probe_chain(vmap.sig, coords, max_probe)
+    slot = _resolve(vmap.keys, cand, match_idx, empty_idx, coords, max_probe)
+    has_slot = slot >= 0
+    safe_slot = jnp.where(has_slot, slot, 0)
+
+    # Phase 2 — cheap full-batch gate: min-distance vs the block's current
+    # points + block-not-full, and claim eligibility for absent voxels.
+    blk_cnt = jnp.where(has_slot, vmap.counts[safe_slot], 0)   # (n,)
+    if min_distance > 0.0:
+        blk_pts = gather_blocks(vmap.points, safe_slot, K)  # (n, K, 3)
+        occ = jnp.arange(K)[None, :] < blk_cnt[:, None]
+        d2 = jnp.sum((blk_pts - pts[:, None, :]) ** 2, axis=-1)
+        min_d2 = jnp.min(jnp.where(occ, d2, jnp.inf), axis=-1)
+        far_enough = min_d2 > (min_distance * min_distance)
+    else:
+        far_enough = jnp.ones((n,), bool)
+    ok_existing = valid & has_slot & far_enough & (blk_cnt < K)
+    needs_claim = valid & ~has_slot & (empty_idx < max_probe)
+    return ok_existing | needs_claim, slot, blk_cnt
+
+
+def insert_gate(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
+                voxel_size: float, min_distance: float, max_probe: int
+                ) -> jnp.ndarray:
+    """Standalone candidate predicate of insert() (phases 1-2 only):
+    which points of the batch would be insertion candidates against the
+    CURRENT table.  Used by the sharded engine to reproduce the
+    single-chip `budget` prefix globally (parallel.sharded_lio)."""
+    coords = voxel_coords(pts, voxel_size)
+    gate, _slot, _cnt = _insert_gate_phase(vmap, pts, valid, coords,
+                                           min_distance, max_probe)
+    return gate
+
+
 def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
            voxel_size: float, min_distance: float, max_probe: int,
            point_ids: Optional[jnp.ndarray] = None,
@@ -218,27 +264,8 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     keys = vmap.keys
     sig_col = vmap.sig
 
-    # Phase 1 — one batched probe resolves every point whose voxel already
-    # exists (the common case on a warm map).
-    cand, match_idx, empty_idx = _probe_chain(sig_col, coords, max_probe)
-    slot = _resolve(keys, cand, match_idx, empty_idx, coords, max_probe)
-    has_slot = slot >= 0
-    safe_slot = jnp.where(has_slot, slot, 0)
-
-    # Phase 2 — cheap full-batch gate: min-distance vs the block's current
-    # points + block-not-full, and claim eligibility for absent voxels.
-    blk_cnt = jnp.where(has_slot, vmap.counts[safe_slot], 0)   # (n,)
-    if min_distance > 0.0:
-        blk_pts = gather_blocks(vmap.points, safe_slot, K)  # (n, K, 3)
-        occ = jnp.arange(K)[None, :] < blk_cnt[:, None]
-        d2 = jnp.sum((blk_pts - pts[:, None, :]) ** 2, axis=-1)
-        min_d2 = jnp.min(jnp.where(occ, d2, jnp.inf), axis=-1)
-        far_enough = min_d2 > (min_distance * min_distance)
-    else:
-        far_enough = jnp.ones((n,), bool)
-    ok_existing = valid & has_slot & far_enough & (blk_cnt < K)
-    needs_claim = valid & ~has_slot & (empty_idx < max_probe)
-    cand_mask = ok_existing | needs_claim
+    cand_mask, slot, blk_cnt = _insert_gate_phase(
+        vmap, pts, valid, coords, min_distance, max_probe)
 
     # Phase 3 — compact candidates to the budget (stable by index) with a
     # cumsum scatter (cheaper than a full-length sort).
@@ -400,10 +427,87 @@ def remove_far_voxels(vmap: VoxelMap, location: jnp.ndarray,
     empty slot only for chains created after the eviction.  To keep probe
     chains coherent we do not mark the key EMPTY but TOMBSTONE-free the
     block by zeroing counts; the slot keeps matching its key and can be
-    refilled by future inserts of the same voxel.
+    refilled by future inserts of the same voxel.  On a long traverse the
+    table monotonically fills with dead keys — use compact_map()
+    periodically to actually reclaim the slots (the erase semantics of
+    the reference robin_map).
     """
     first_pt = vmap.points[::vmap.block_capacity, :]
     d2 = jnp.sum((first_pt - location[None, :]) ** 2, axis=-1)
     evict = (vmap.counts > 0) & (d2 > distance * distance)
     counts = jnp.where(evict, 0, vmap.counts)
     return vmap._replace(counts=counts)
+
+
+@functools.partial(jax.jit, static_argnames=("distance", "max_probe"),
+                   donate_argnums=(0,))
+def compact_map(vmap: VoxelMap, location: jnp.ndarray, *,
+                distance: float, max_probe: int
+                ) -> Tuple[VoxelMap, jnp.ndarray]:
+    """Rebuild the table keeping only voxels within `distance` of
+    `location`: the slot-reclaiming eviction (erase semantics of
+    removePointsFarFromLocation, lioOptimization.cpp:556-572 — robin_map
+    `erase` frees the bucket; the tombstone in remove_far_voxels does
+    not).  Every surviving voxel is re-hashed into a FRESH table with the
+    same claim-round arbitration as insert(), so probe chains come out
+    coherent and minimal.  O(capacity * rounds) — run it every
+    eviction_every_n_frames, off the per-sweep path.
+
+    Returns (new_map, n_dropped): voxels that could not be re-placed
+    within `max_probe` (possible only at pathological load factors;
+    counted, never silent).
+    """
+    capacity, K = vmap.counts.shape[0], vmap.block_capacity
+    first_pt = vmap.points[::K, :]
+    d2 = jnp.sum((first_pt - location[None, :]) ** 2, axis=-1)
+    live = (vmap.counts > 0) & (d2 <= distance * distance)
+    coords = vmap.keys
+    want = voxel_sig(coords)
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+
+    new_keys = jnp.full((capacity, 3), EMPTY, jnp.int32)
+    new_sig = jnp.full((capacity,), SIG_EMPTY, jnp.int32)
+
+    # Claim rounds at voxel granularity: all keys are DISTINCT (they came
+    # from one table), so no same-key joins happen — each round every
+    # still-pending voxel targets the first empty slot of its probe chain
+    # in the NEW table, scatter-min elects one winner per slot, losers
+    # re-probe past the now-occupied slot.
+    def _round(carry):
+        new_keys, new_sig, slot_new, pending = carry
+        cand, _mi, ei = _probe_chain(new_sig, coords, max_probe)
+        can = pending & (ei < max_probe)
+        tgt = jnp.take_along_axis(
+            cand, jnp.minimum(ei, max_probe - 1)[..., None], -1)[..., 0]
+        claim = jnp.full((capacity,), capacity, jnp.int32).at[
+            jnp.where(can, tgt, capacity)].min(idx, mode="drop")
+        winner = can & (claim[tgt] == idx)
+        w_idx = jnp.where(winner, tgt, capacity + idx)
+        new_keys = new_keys.at[w_idx].set(coords, mode="drop",
+                                          unique_indices=True)
+        new_sig = new_sig.at[w_idx].set(want, mode="drop",
+                                        unique_indices=True)
+        slot_new = jnp.where(winner, tgt, slot_new)
+        pending = pending & ~winner & (ei < max_probe)
+        return new_keys, new_sig, slot_new, pending
+
+    new_keys, new_sig, slot_new, pending = jax.lax.while_loop(
+        lambda c: jnp.any(c[3]), _round,
+        (new_keys, new_sig, jnp.full((capacity,), -1, jnp.int32), live))
+    placed = live & (slot_new >= 0)
+    n_dropped = (jnp.sum(live) - jnp.sum(placed)).astype(jnp.int32)
+
+    # Move blocks to their new homes with whole-block scatters.
+    dst_rows = block_rows(jnp.where(placed, slot_new, capacity + idx),
+                          K).reshape(-1)
+    src = gather_blocks(vmap.points, idx, K).reshape(capacity * K, 3)
+    src_ids = gather_blocks(vmap.point_ids, idx, K).reshape(capacity * K)
+    new_points = jnp.zeros_like(vmap.points).at[dst_rows].set(
+        src, mode="drop", unique_indices=True)
+    new_ids = jnp.full_like(vmap.point_ids, -1).at[dst_rows].set(
+        src_ids, mode="drop", unique_indices=True)
+    new_counts = jnp.zeros_like(vmap.counts).at[
+        jnp.where(placed, slot_new, capacity + idx)].set(
+        vmap.counts, mode="drop", unique_indices=True)
+    return VoxelMap(keys=new_keys, sig=new_sig, points=new_points,
+                    counts=new_counts, point_ids=new_ids), n_dropped

@@ -17,11 +17,13 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sr_livo_tpu.ops import neighborhood as nb_ops
 from sr_livo_tpu.ops import voxel_map as vm
+from sr_livo_tpu.parallel import routing
 from sr_livo_tpu.parallel.mesh import MAP_AXIS
 from sr_livo_tpu.utils import lie
 
@@ -167,55 +169,92 @@ def make_sharded_windowed_ba(mesh: Mesh, n_keyframes: int, *,
                              max_dist: float = 0.5, iters: int = 3,
                              prior_rot_w: float = 100.0,
                              prior_t_w: float = 100.0,
-                             damping: float = 1e-3):
+                             damping: float = 1e-3,
+                             block_bits: int = 4,
+                             route_slack: float = 4.0):
     """Sharded windowed BA: keyframes AND map blocks partitioned over the
-    mesh.  The voxel map must be the ShardedLioEngine layout (sub-table per
-    device); keyframe residual blocks are computed for the LOCAL keyframe
-    slice against ALL map shards (all_gather candidate merge), then psum'd
-    into the global banded system.
+    mesh, OWNER-ROUTED like the per-sweep LIO path (no candidate
+    all_gather): the voxel map must be the ShardedLioEngine layout
+    (block-owner sub-table per device WITH voxel halos); every keyframe
+    point is routed to its center-block owner (one all_to_all per GN
+    iteration), which finds the whole kNN neighborhood in its LOCAL table
+    and scatter-adds the point's 6x6/6 normal-equation contribution into
+    per-keyframe blocks.  One psum assembles the global banded system,
+    which every device solves redundantly (6K x 6K is tiny).
+
+    `block_bits` MUST match the engine's cfg.shapes.map_block_bits (block
+    ownership is a function of it); `route_slack` sizes the static
+    per-destination routing budgets against spatial density imbalance
+    (rows beyond budget are dropped for that iteration — the same
+    degradation contract as the LIO router).
     """
     n_dev = mesh.devices.size
     assert n_keyframes % n_dev == 0
     k_local = n_keyframes // n_dev
 
-    from sr_livo_tpu.parallel.sharded_lio import _sharded_knn
+    from sr_livo_tpu.parallel.sharded_lio import shard_of
 
     def body(local_map: vm.VoxelMap, window: KeyframeWindow,
              q_odo, t_odo):
         me = jax.lax.axis_index(MAP_AXIS)
+        K, N = window.points.shape[0], window.points.shape[1]
+        total = K * N
+        # static routing budgets (shapes are concrete at trace time)
+        B = min(total, routing.rup(
+            int(total / n_dev / n_dev * route_slack) + 32))
+        W = min(total, routing.rup(
+            int(total / n_dev * route_slack) + 64))
+
+        # this device's keyframe slice, flattened to rows
+        pts_l = jax.lax.dynamic_slice_in_dim(
+            window.points, me * k_local, k_local, axis=0
+        ).reshape(k_local * N, 3)
+        val_l = jax.lax.dynamic_slice_in_dim(
+            window.pt_valid, me * k_local, k_local, axis=0
+        ).reshape(k_local * N)
+        kf_l = (me * np.int32(k_local)
+                + jnp.repeat(jnp.arange(k_local, dtype=jnp.int32), N))
 
         def gn_iter(_i, carry):
             q, t = carry
-            h_all = jnp.zeros((n_keyframes, 6, 6))
-            b_all = jnp.zeros((n_keyframes, 6))
-            for kk in range(k_local):
-                k = me * k_local + kk
-                pts = window.points[k]
-                valid = window.pt_valid[k]
-                n = pts.shape[0]
-                world = lie.quat_rotate(
-                    jnp.broadcast_to(q[k], (n, 4)), pts) + t[k]
-                neighbors, nb_ok, _ = _sharded_knn(
-                    local_map, world, voxel_size=voxel_size,
-                    max_neighbors=max_neighbors, max_probe=max_probe,
-                    nb_voxels=1, threshold_capacity=1, n_shards=n_dev)
-                n_found = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
-                enough = n_found >= min_neighbors
-                normal, a2d, _ = nb_ops.neighborhood_distribution(
-                    neighbors, n_found)
-                closest = neighbors[:, 0, :]
-                dist = jnp.sum(normal * (world - closest), axis=-1)
-                w = jnp.where(valid & enough & (jnp.abs(dist) < max_dist),
-                              a2d * a2d, 0.0)
-                r_w = lie.quat_to_rot(q[k])
-                j_rot = -jnp.einsum("ni,ij,njk->nk", normal, r_w,
-                                    lie.skew(pts))
-                j = jnp.concatenate(
-                    [j_rot, jnp.broadcast_to(normal, (n, 3))], axis=-1)
-                jw = j * w[:, None]
-                h_all = h_all.at[k].set(jw.T @ j)
-                b_all = b_all.at[k].set(jw.T @ dist)
-            # assemble globally: every device needs every block
+            # route rows to the center-block owner of their CURRENT world
+            # position (poses move between iterations)
+            world_l = lie.quat_rotate(q[kf_l], pts_l) + t[kf_l]
+            dest = shard_of(vm.voxel_coords(world_l, voxel_size), n_dev,
+                            block_bits)
+            rows = routing.pack_cols(pts_l, kf_l)
+            buf, bval, _d = routing.pack_for_exchange(
+                dest, val_l, rows, n_dev, B)
+            rcv, rval = routing.exchange(buf, bval, MAP_AXIS)
+            qrows, qval, _d2 = routing.compact(rcv, rval, W)
+            body_pts = qrows[:, 0:3]
+            kf_q = jnp.clip(routing.unpack_col_i32(qrows, 3), 0, K - 1)
+
+            world = lie.quat_rotate(q[kf_q], body_pts) + t[kf_q]
+            neighbors, nb_ok, _ = vm.knn(
+                local_map, world, voxel_size=voxel_size,
+                max_neighbors=max_neighbors, max_probe=max_probe,
+                nb_voxels=1)
+            n_found = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
+            enough = n_found >= min_neighbors
+            normal, a2d, _ = nb_ops.neighborhood_distribution(
+                neighbors, n_found)
+            closest = neighbors[:, 0, :]
+            dist = jnp.sum(normal * (world - closest), axis=-1)
+            w = jnp.where(qval & enough & (jnp.abs(dist) < max_dist),
+                          a2d * a2d, 0.0)
+            r_q = lie.quat_to_rot(q[kf_q])
+            j_rot = -jnp.einsum("ni,nij,njk->nk", normal, r_q,
+                                lie.skew(body_pts))
+            j = jnp.concatenate([j_rot, normal], axis=-1)    # (W, 6)
+            jw = j * w[:, None]
+            hb = jnp.einsum("wi,wj->wij", jw, j)             # (W, 6, 6)
+            bb = jw * dist[:, None]                          # (W, 6)
+            kf_tgt = jnp.where(w > 0, kf_q, K)
+            h_all = jnp.zeros((K, 6, 6), jw.dtype).at[kf_tgt].add(
+                hb, mode="drop")
+            b_all = jnp.zeros((K, 6), jw.dtype).at[kf_tgt].add(
+                bb, mode="drop")
             h_all = jax.lax.psum(h_all, MAP_AXIS)
             b_all = jax.lax.psum(b_all, MAP_AXIS)
             dx = _assemble_and_solve(h_all, b_all, q, t, q_odo, t_odo,

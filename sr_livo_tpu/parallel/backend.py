@@ -44,6 +44,7 @@ class BackendConfig:
     loop_min_gap: int = 20
     loop_fitness_threshold: float = 0.6
     loop_check_every_n: int = 5
+    loop_max_pairs: int = 8              # candidates verified per check
     max_keyframe_points: int = 1024
     odometry_rot_w: float = 50.0
     odometry_t_w: float = 50.0
@@ -220,7 +221,7 @@ class MappingBackend:
         pos = np.stack([f.t for f in self.keyframes])
         cands = lc.find_candidates(pos, radius=self.cfg.loop_radius,
                                    min_gap=self.cfg.loop_min_gap,
-                                   max_pairs=2)
+                                   max_pairs=self.cfg.loop_max_pairs)
         existing = {(e["i"], e["j"]) for e in self.edges}
         for (i, j) in cands:
             if (i, j) in existing:
@@ -251,15 +252,38 @@ class MappingBackend:
             return (times, np.stack([f.t for f in self.keyframes]),
                     np.stack([f.q for f in self.keyframes]))
         e = len(self.edges)
+        # pad node/edge counts to power-of-two buckets: each distinct
+        # shape compiles its own program, and an unpadded growing graph
+        # would recompile on EVERY call (a hidden super-linear wall
+        # cost); padded edges are masked by edge_valid, padded nodes are
+        # identity poses touched only by damping (dx = 0).
+        n_pad = 1 << max(int(n - 1).bit_length(), 3)
+        e_pad = 1 << max(int(e - 1).bit_length(), 3)
+        q_all = np.tile(np.array([1, 0, 0, 0], np.float32), (n_pad, 1))
+        t_all = np.zeros((n_pad, 3), np.float32)
+        q_all[:n] = np.stack([f.q for f in self.keyframes])
+        t_all[:n] = np.stack([f.t for f in self.keyframes])
+
+        def pad1(vals, fill, dtype):
+            a = np.full((e_pad,), fill, dtype)
+            a[:e] = vals
+            return a
+
+        qm = np.tile(np.array([1, 0, 0, 0], np.float32), (e_pad, 1))
+        qm[:e] = np.stack([d["q"] for d in self.edges])
+        tm = np.zeros((e_pad, 3), np.float32)
+        tm[:e] = np.stack([d["t"] for d in self.edges])
         graph = pg.PoseGraph(
-            q=jnp.asarray(np.stack([f.q for f in self.keyframes])),
-            t=jnp.asarray(np.stack([f.t for f in self.keyframes])),
-            edge_i=jnp.asarray([d["i"] for d in self.edges], jnp.int32),
-            edge_j=jnp.asarray([d["j"] for d in self.edges], jnp.int32),
-            q_meas=jnp.asarray(np.stack([d["q"] for d in self.edges])),
-            t_meas=jnp.asarray(np.stack([d["t"] for d in self.edges])),
-            rot_w=jnp.asarray([d["rot_w"] for d in self.edges], jnp.float32),
-            t_w=jnp.asarray([d["t_w"] for d in self.edges], jnp.float32),
-            edge_valid=jnp.ones(e, bool))
+            q=jnp.asarray(q_all), t=jnp.asarray(t_all),
+            edge_i=jnp.asarray(pad1([d["i"] for d in self.edges], 0,
+                                    np.int32)),
+            edge_j=jnp.asarray(pad1([d["j"] for d in self.edges], 0,
+                                    np.int32)),
+            q_meas=jnp.asarray(qm), t_meas=jnp.asarray(tm),
+            rot_w=jnp.asarray(pad1([d["rot_w"] for d in self.edges], 0.0,
+                                   np.float32)),
+            t_w=jnp.asarray(pad1([d["t_w"] for d in self.edges], 0.0,
+                                 np.float32)),
+            edge_valid=jnp.asarray(np.arange(e_pad) < e))
         q, t = pg.optimize_pose_graph(graph, iters=iters)
-        return times, np.asarray(t), np.asarray(q)
+        return times, np.asarray(t)[:n], np.asarray(q)[:n]

@@ -2,8 +2,9 @@
 
 Building blocks for the owner-routed sharded LIO engine
 (parallel.sharded_lio): pack rows into fixed per-destination buffers,
-exchange them with one `all_to_all`, compact the received rows, and
-merge-sort/dedup them with exact global semantics.  Every shape is
+exchange them with one `all_to_all`, and compact the received rows.
+(Dedup itself is sort-free: ops.frame.bucket_dedup_min claim rounds —
+round 4 removed the lex-sort machinery that dominated per-shard cost.)  Every shape is
 static; overflow beyond a buffer budget is DROPPED deterministically and
 counted (never silent — callers psum and surface the counter).
 
@@ -117,24 +118,3 @@ def compact(rows: jnp.ndarray, valid: jnp.ndarray, out_size: int
         True, mode="drop", unique_indices=True)
     dropped = jnp.sum(valid).astype(jnp.int32) - jnp.sum(ok).astype(jnp.int32)
     return out, oval, dropped
-
-
-def lex_sort_dedup(primary: jnp.ndarray, secondary: jnp.ndarray,
-                   valid: jnp.ndarray
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sort rows by (primary, secondary) ascending (invalid rows last) and
-    mark the first row of every primary-key run.
-
-    Both keys are non-negative int32.  Returns (order, winner_sorted):
-    `order` is the permutation; `winner_sorted[i]` is True iff sorted row
-    i is the (min-secondary) representative of a valid primary key —
-    exactly the single-chip voxel_subsample winner rule.
-    """
-    p = jnp.where(valid, primary, I32_MAX)
-    o1 = jnp.argsort(secondary, stable=True)
-    o2 = jnp.argsort(p[o1], stable=True)
-    order = o1[o2]
-    ps = p[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), ps[1:] != ps[:-1]]) & (ps != I32_MAX)
-    return order, first

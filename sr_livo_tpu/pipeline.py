@@ -12,6 +12,8 @@ Reference topology: lioOptimization::run()/process()
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -101,30 +103,95 @@ class LivoPipeline:
             self._process_measurement(meas)
             n += 1
 
+    def process_measurements(self, meas_list, pipelined: bool = True,
+                             depth: int = 3) -> int:
+        """Process a list of pre-cut measurements; with `pipelined`, a
+        feeder thread runs the host preparation (numpy sweep padding,
+        int16 wire packing, native image remap, upload enqueue) of frame
+        k+1..k+depth while the main thread dispatches the device programs
+        of frame k — hiding the ~1 ms/frame host prep behind device
+        compute.  Frames before filter initialization run serially (the
+        init path is stateful on the filter)."""
+        i = 0
+        while i < len(meas_list) and not (pipelined and self.initialized):
+            self._process_measurement(meas_list[i])
+            i += 1
+        if i >= len(meas_list):
+            return i
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        err: list = []
+        start = self.index_frame
+
+        def _feed():
+            try:
+                for j, m in enumerate(meas_list[i:]):
+                    q.put(self._host_prepare_measurement(m, start + j))
+            except BaseException as e:  # surface on the main thread
+                err.append(e)
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=_feed, name="livo-feeder", daemon=True)
+        th.start()
+        n = i
+        while True:
+            pf = q.get()
+            if pf is None:
+                break
+            self._dispatch_prepared(pf)
+            n += 1
+        th.join()
+        if err:
+            raise err[0]
+        return n
+
     def _process_measurement(self, meas: meas_mod.Measurement):
+        if not self._init_or_skip(meas):
+            return
+        self._dispatch_prepared(
+            self._host_prepare_measurement(meas, self.index_frame))
+
+    def _init_or_skip(self, meas: meas_mod.Measurement) -> bool:
+        """Static-init bookkeeping; returns True once sweeps should flow
+        through the estimation path (run(), lioOptimization.cpp:1438-1486)."""
         if self.current_time < 0:
             self.current_time = meas.time_sweep_begin
+        if self.initialized:
+            return True
+        samples, self.current_time = meas_mod.interpolate_imu(
+            meas, self.current_time)
+        for (_dt, t, acc, gyr) in samples:
+            self.initializer.push(t, acc, gyr)
+            self._last_imu_sample = (acc, gyr)
+        if self.initializer.ready():
+            self.state = self.initializer.build_state(self.state)
+            if self._last_imu_sample is not None:
+                acc, gyr = self._last_imu_sample
+                self.state = self.state._replace(
+                    acc_0=jnp.asarray(acc, jnp.float32),
+                    gyr_0=jnp.asarray(gyr, jnp.float32))
+            self.initialized = True
+        return False
 
-        if not self.initialized:
-            # Static init phase (run(), lioOptimization.cpp:1438-1486).
-            samples, self.current_time = meas_mod.interpolate_imu(
-                meas, self.current_time)
-            for (_dt, t, acc, gyr) in samples:
-                self.initializer.push(t, acc, gyr)
-                self._last_imu_sample = (acc, gyr)
-            if self.initializer.ready():
-                self.state = self.initializer.build_state(self.state)
-                if self._last_imu_sample is not None:
-                    acc, gyr = self._last_imu_sample
-                    self.state = self.state._replace(
-                        acc_0=jnp.asarray(acc, jnp.float32),
-                        gyr_0=jnp.asarray(gyr, jnp.float32))
-                self.initialized = True
-            return
+    # ---- two-phase per-frame path -----------------------------------------
+    # The host work of frame k+1 (numpy sweep padding/packing, native
+    # image remap) is independent of the device results of frame k, so a
+    # feeder thread can run _host_prepare_measurement one frame ahead
+    # while the main thread dispatches device programs — the same overlap
+    # the reference gets from its visualization thread
+    # (lioOptimization.cpp:1594).  See process_measurements().
 
+    def _host_prepare_measurement(self, meas: meas_mod.Measurement,
+                                  frame_index: int, to_device: bool = True):
+        """Numpy-only sweep/image preparation (feeder-thread safe: touches
+        only the cutter-side state `current_time`, never the filter/map).
+        With `to_device`, the padded buffers are uploaded here too —
+        transfers enqueue on the device stream and overlap the main
+        thread's dispatch work."""
         with self.timers.stage("prepare_sweep"):
             prep = meas_mod.prepare_sweep(meas, self.current_time, self.cfg)
         self.current_time = prep.new_current_time
+        up = jnp.asarray if to_device else (lambda x: x)
         if self.cfg.wire_quantization:
             wire = meas_mod.pack_sweep(prep, meas.duration)
             # pack the IMU columns + scalars into dense buffers host-side:
@@ -137,27 +204,38 @@ class LivoPipeline:
                 axis=1).astype(np.float32)
             meta = np.array([
                 wire.scale, wire.duration,
-                1.0 if self.index_frame > 1 else 0.0,
-                1 if self.index_frame < self.cfg.icp.init_num_frames
+                1.0 if frame_index > 1 else 0.0,
+                1 if frame_index < self.cfg.icp.init_num_frames
                 else self.cfg.icp.threshold_voxel_occupancy], np.float32)
-            sweep = WireSweep(pts_q=jnp.asarray(wire.pts_q),
-                              imu=jnp.asarray(imu_pack),
-                              meta=jnp.asarray(meta))
+            sweep = WireSweep(pts_q=up(wire.pts_q), imu=up(imu_pack),
+                              meta=up(meta))
         else:
             sweep = SweepInput(
-                raw_pts=jnp.asarray(prep.raw_pts),
-                t_rel=jnp.asarray(prep.t_rel),
-                pt_valid=jnp.asarray(prep.pt_valid),
-                imu_t=jnp.asarray(prep.imu_t),
-                imu_dt=jnp.asarray(prep.imu_dt),
-                imu_acc=jnp.asarray(prep.imu_acc),
-                imu_gyr=jnp.asarray(prep.imu_gyr),
-                imu_valid=jnp.asarray(prep.imu_valid),
-                do_optimize=jnp.asarray(self.index_frame > 1),
-                threshold_capacity=jnp.int32(
-                    1 if self.index_frame < self.cfg.icp.init_num_frames
-                    else self.cfg.icp.threshold_voxel_occupancy))
+                raw_pts=up(prep.raw_pts),
+                t_rel=up(prep.t_rel),
+                pt_valid=up(prep.pt_valid),
+                imu_t=up(prep.imu_t),
+                imu_dt=up(prep.imu_dt),
+                imu_acc=up(prep.imu_acc),
+                imu_gyr=up(prep.imu_gyr),
+                imu_valid=up(prep.imu_valid),
+                do_optimize=up(np.asarray(frame_index > 1)),
+                threshold_capacity=up(np.int32(
+                    1 if frame_index < self.cfg.icp.init_num_frames
+                    else self.cfg.icp.threshold_voxel_occupancy)))
+        host_img = None
+        if (self.vision is not None and meas.rendering
+                and meas.image is not None):
+            with self.timers.stage("vis_host_prep"):
+                img_u8, remapped = self.vision._host_prepare(meas.image)
+                if to_device:
+                    img_u8 = jnp.asarray(img_u8)
+                host_img = (img_u8, remapped)
+        return (meas, frame_index, sweep, host_img)
 
+    def _dispatch_prepared(self, prepared):
+        meas, frame_index, sweep, host_img = prepared
+        assert frame_index == self.index_frame
         prev_poses = None
         if self.engine.use_cv_init and self._pose_hist:
             prev_poses = (self._pose_hist[-1],
@@ -187,10 +265,15 @@ class LivoPipeline:
 
         if (self.cfg.enable_map_eviction
                 and self.index_frame % self.cfg.eviction_every_n_frames == 0):
-            from sr_livo_tpu.ops.voxel_map import remove_far_voxels
-            self.voxel_map = remove_far_voxels(
+            # Slot-RECLAIMING eviction (robin_map erase semantics,
+            # lioOptimization.cpp:556-572): rebuild the table keeping only
+            # near voxels.  Off the per-sweep path; the dropped counter
+            # stays on device (no per-frame D2H).
+            from sr_livo_tpu.ops.voxel_map import compact_map
+            self.voxel_map, self._evict_dropped = compact_map(
                 self.voxel_map, self.state.p,
-                self.cfg.odometry_options.max_distance)
+                distance=self.cfg.odometry_options.max_distance,
+                max_probe=self.cfg.shapes.map_max_probe)
 
         if self.vision is not None:
             # colored-map leg of addPointsToMap (every sweep,
@@ -204,7 +287,8 @@ class LivoPipeline:
                     jax.block_until_ready(self.vision.color_map.reg)
             if meas.rendering and meas.image is not None:
                 with self.timers.stage("vision_frame"):
-                    self.vision.process_frame(self, meas, out)
+                    self.vision.process_frame(self, meas, out,
+                                              host_img=host_img)
 
         if self.backend is not None:
             with self.timers.stage("backend"):

@@ -48,11 +48,21 @@ class StreamPublisher:
 
     def __init__(self, out_dir: str, path_stride: int = 10,
                  map_every_n_frames: int = 10,
-                 pub_point_minimum_views: int = 3):
+                 pub_point_minimum_views: int = 3,
+                 pending_max_ticks: int = 200,
+                 max_pending_rows: int = 1 << 20):
         self.out_dir = out_dir
         self.path_stride = int(path_stride)
         self.map_every_n_frames = int(map_every_n_frames)
         self.min_views = int(pub_point_minimum_views)
+        # Bound the carried not-yet-publishable set: a point observed once
+        # and never again would otherwise be re-gathered every tick
+        # forever.  Rows pending more than `pending_max_ticks` map ticks
+        # are dropped (counted in n_pending_dropped), and the set is
+        # hard-capped at `max_pending_rows` (oldest dropped first).
+        self.pending_max_ticks = int(pending_max_ticks)
+        self.max_pending_rows = int(max_pending_rows)
+        self.n_pending_dropped = 0
         os.makedirs(out_dir, exist_ok=True)
         os.makedirs(os.path.join(out_dir, "color_chunks"), exist_ok=True)
         self._odo_path = os.path.join(out_dir, "odometry_live.txt")
@@ -71,6 +81,8 @@ class StreamPublisher:
         # here we keep their indices and re-check them against the next
         # registry snapshot instead of re-reading everything.
         self._pending_rows = np.zeros((0,), np.int64)
+        self._pending_tick = np.zeros((0,), np.int64)  # tick each row joined
+        self._tick = 0
         self._n_lines = 0
         self.last_error: Optional[Exception] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -143,18 +155,30 @@ class StreamPublisher:
         reg, count = cmap
         count = int(count)
         lo = self._published_ids
+        self._tick += 1
         # Candidate rows this tick: every previously-unpublishable row
         # (their n_rgb grows with later observations) plus the new ones.
-        idx = np.concatenate(
-            [self._pending_rows, np.arange(lo, max(lo, count))])
+        new = np.arange(lo, max(lo, count))
+        idx = np.concatenate([self._pending_rows, new])
+        tick0 = np.concatenate(
+            [self._pending_tick, np.full(new.shape, self._tick, np.int64)])
         self._published_ids = max(lo, count)
         if idx.size == 0:
             return
         rows = np.asarray(reg[idx])                     # D2H, sparse rows
         ok = (rows[:, C_VALID] > 0.5) & (rows[:, C_NRGB] >= self.min_views)
         # Invalid rows stay pending too: a claimed-but-unfilled slot at
-        # snapshot time becomes valid once its insert program lands.
-        self._pending_rows = idx[~ok]
+        # snapshot time becomes valid once its insert program lands — but
+        # only up to pending_max_ticks / max_pending_rows (see __init__).
+        keep = ~ok & (self._tick - tick0 < self.pending_max_ticks)
+        self.n_pending_dropped += int(np.sum(~ok) - np.sum(keep))
+        self._pending_rows = idx[keep]
+        self._pending_tick = tick0[keep]
+        if self._pending_rows.size > self.max_pending_rows:
+            cut = self._pending_rows.size - self.max_pending_rows
+            self.n_pending_dropped += cut
+            self._pending_rows = self._pending_rows[cut:]
+            self._pending_tick = self._pending_tick[cut:]
         if not ok.any():
             return
         path = os.path.join(self.out_dir, "color_chunks",

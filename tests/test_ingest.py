@@ -375,3 +375,109 @@ def test_bag_replay_compressed_images(tmp_path):
     assert len(pipe.records) > 10
     # decoded images actually reached the cutter as image payloads
     assert sum(r.rendering for r in pipe.records) > 5
+
+
+# ---- adversarial-format hardening (VERDICT r3 #7) -----------------------
+
+def _tiny_bag(path):
+    from tests import rosbag_writer as rbw
+    w = rbw.BagWriter(str(path))
+    for i in range(4):
+        w.write_message("/imu", "sensor_msgs/Imu", 0.1 * (i + 1),
+                        rbw.ser_imu(0.1 * (i + 1), [0, 0, 9.8], [0, 0, 0]))
+    w.close()
+    return str(path)
+
+
+def _drain(bag):
+    from sr_livo_tpu.runtime import native
+    return list(native.BagReader(bag))
+
+
+def test_bag_reader_rejects_lying_length_fields(tmp_path):
+    """A corrupt/malicious length field must fail CLEANLY (IOError), not
+    allocate gigabytes or crash — the reader previously trusted record
+    framing (native/livo_native.cpp read_record)."""
+    src = _tiny_bag(tmp_path / "ok.bag")
+    raw = open(src, "rb").read()
+    assert len(_drain(src)) == 4      # sanity: the valid bag reads fine
+
+    import struct
+    # the version line is "#ROSBAG V2.0\n" (13 bytes); then hlen (4 LE)
+    lie_h = raw[:13] + struct.pack("<I", 0xFFFFFFF0) + raw[17:]
+    p = tmp_path / "lie_hlen.bag"
+    open(p, "wb").write(lie_h)
+    with pytest.raises(IOError):
+        _drain(str(p))
+
+    # lying DATA length on the first record: hlen is honest, dlen is not
+    (hlen,) = struct.unpack_from("<I", raw, 13)
+    dpos = 13 + 4 + hlen
+    lie_d = raw[:dpos] + struct.pack("<I", 0xFFFFFFF0) + raw[dpos + 4:]
+    p = tmp_path / "lie_dlen.bag"
+    open(p, "wb").write(lie_d)
+    with pytest.raises(IOError):
+        _drain(str(p))
+
+
+def test_bag_reader_truncated_and_garbage_tail(tmp_path):
+    """Truncation mid-record and a garbage trailing record must either
+    stop cleanly with the messages read so far or raise IOError — never
+    crash the process."""
+    src = _tiny_bag(tmp_path / "ok.bag")
+    raw = open(src, "rb").read()
+
+    p = tmp_path / "trunc.bag"
+    open(p, "wb").write(raw[:-11])
+    try:
+        msgs = _drain(str(p))
+        assert len(msgs) <= 4
+    except IOError:
+        pass
+
+    # garbage record appended: header with no '=' separator
+    import struct
+    bad_header = b"nonsense-without-separator"
+    tail = struct.pack("<I", len(bad_header)) + bad_header \
+        + struct.pack("<I", 0)
+    p = tmp_path / "garbage.bag"
+    open(p, "wb").write(raw + tail)
+    with pytest.raises(IOError):
+        _drain(str(p))
+
+
+def test_bag_reader_bad_compression_and_fuzz(tmp_path):
+    """Unknown chunk compression raises; random single-byte corruption
+    across the file never crashes (clean error or clean stop)."""
+    from tests import rosbag_writer as rbw
+    src = _tiny_bag(tmp_path / "ok.bag")
+    raw = open(src, "rb").read()
+
+    # craft a chunk record advertising an unsupported compression
+    chunk = rbw._record({"op": rbw._op(0x05), "compression": b"zstd",
+                         "size": np.uint32(64).tobytes()}, b"\x00" * 32)
+    p = tmp_path / "badcomp.bag"
+    open(p, "wb").write(raw + chunk)
+    with pytest.raises(IOError):
+        _drain(str(p))
+
+    # lz4-flagged chunk with garbage payload -> decompress error, not UB
+    chunk = rbw._record({"op": rbw._op(0x05), "compression": b"lz4",
+                         "size": np.uint32(512).tobytes()}, b"\xde\xad" * 16)
+    p = tmp_path / "badlz4.bag"
+    open(p, "wb").write(raw + chunk)
+    with pytest.raises(IOError):
+        _drain(str(p))
+
+    rng = np.random.RandomState(5)
+    for trial in range(40):
+        buf = bytearray(raw)
+        for _ in range(rng.randint(1, 4)):
+            buf[rng.randint(13, len(buf))] = rng.randint(0, 256)
+        p = tmp_path / f"fuzz{trial}.bag"
+        open(p, "wb").write(bytes(buf))
+        try:
+            msgs = _drain(str(p))
+            assert len(msgs) <= 8
+        except (IOError, OSError):
+            pass

@@ -151,3 +151,41 @@ def test_map_eviction_bounds_map_and_keeps_tracking(sim):
     from sr_livo_tpu.runtime import tum
     ate = tum.ate_rmse(ts, ps, sim.gt_times, sim.gt_pos, align=True)
     assert ate < 0.10, f"eviction-enabled ATE {ate:.3f} m"
+
+
+def test_pipelined_host_path_matches_serial(sim):
+    """process_measurements (feeder-thread host prep, frame k+1 prepared
+    while frame k dispatches) must be bit-identical to the serial path —
+    the overlap only reorders HOST work, never device programs."""
+    cfg = _small_cfg()
+
+    def cut_all():
+        from sr_livo_tpu.runtime.measurements import SweepCutter
+        cutter = SweepCutter(0.1)
+        for (t, a, g) in sim.imu:
+            cutter.push_imu(t, a, g)
+        for c in sim.lidar_chunks:
+            cutter.push_points(c)
+        for (t, img) in sim.images:
+            cutter.push_image(t, img)
+        out = []
+        while True:
+            m = cutter.get()
+            if m is None:
+                return out
+            out.append(m)
+
+    meas = cut_all()[:60]
+    serial = LivoPipeline(cfg)
+    for m in meas:
+        serial._process_measurement(m)
+    piped = LivoPipeline(cfg)
+    n = piped.process_measurements(meas)
+    assert n == len(meas)
+    assert piped.index_frame == serial.index_frame
+    rs, rp = serial.records, piped.records
+    assert len(rs) == len(rp) and len(rs) > 15
+    for a, b in zip(rs, rp):
+        np.testing.assert_array_equal(a.position, b.position)
+        np.testing.assert_array_equal(a.quat_wxyz, b.quat_wxyz)
+        assert a.time == b.time and a.success == b.success

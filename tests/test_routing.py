@@ -29,19 +29,30 @@ def test_pack_cols_int_roundtrip():
     assert np.allclose(np.asarray(rows[:, :3]), np.asarray(pts))
 
 
-def test_lex_sort_dedup_winner_rule():
+def test_bucket_dedup_min_winner_rule():
+    """Sort-free grouped argmin: one winner per distinct key, the row
+    with the minimum priority; invalid rows never win."""
+    from sr_livo_tpu.ops.frame import bucket_dedup_min
     primary = jnp.asarray([5, 3, 5, 3, 7, 5], jnp.int32)
     secondary = jnp.asarray([2, 9, 1, 4, 0, 8], jnp.int32)
     valid = jnp.asarray([True, True, True, True, False, True])
-    order, win = routing.lex_sort_dedup(primary, secondary, valid)
-    o = np.asarray(order)
-    w = np.asarray(win)
-    # sorted primaries: 3,3,5,5,5 then invalid
-    assert list(np.asarray(primary)[o[:5]]) == [3, 3, 5, 5, 5]
-    # winners: first of each run = min secondary (3->idx3 sec4, 5->idx2 sec1)
-    winners = o[w]
-    assert set(winners.tolist()) == {3, 2}
-    assert w.sum() == 2
+    win = np.asarray(bucket_dedup_min(primary, secondary, valid))
+    assert set(np.nonzero(win)[0].tolist()) == {3, 2}
+
+    # adversarial scale: many duplicate keys in a tiny table still
+    # resolves exactly (claim rounds terminate, winners = numpy argmin)
+    rng = np.random.RandomState(0)
+    n = 4096
+    keys = jnp.asarray(rng.randint(0, 257, n), jnp.int32)
+    pri = jnp.asarray(rng.permutation(n).astype(np.int32))
+    val = jnp.asarray(rng.rand(n) < 0.9)
+    win = np.asarray(bucket_dedup_min(keys, pri, val, table_size=512))
+    kk, pp, vv = np.asarray(keys), np.asarray(pri), np.asarray(val)
+    expect = set()
+    for k in np.unique(kk[vv]):
+        rows = np.nonzero((kk == k) & vv)[0]
+        expect.add(rows[np.argmin(pp[rows])])
+    assert set(np.nonzero(win)[0].tolist()) == expect
 
 
 def test_exchange_routes_rows_to_owner():

@@ -152,3 +152,37 @@ def test_sharded_matches_single_device_with_residual_cap():
         assert (int(o1.summary.num_residuals)
                 == int(o2.summary.num_residuals)), fid
     assert capped >= 2, "cap never engaged; lower max_num_residuals"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_route_overflow_degrades_gracefully():
+    """Adversarial density: starve the routing budgets (budget_override)
+    so overflow MUST trigger, and check the engine's degradation contract
+    — overflow counted nonzero, state stays finite, the step keeps
+    running, and the map keeps a sane size (no corruption, no NaNs)."""
+    cfg = _cfg()
+    preps = _sweeps(cfg, n=5)
+    mesh = mesh_mod.make_mesh(8)
+    from sr_livo_tpu.parallel.sharded_lio import compute_budgets
+    tiny = compute_budgets(cfg, 8)
+    tiny.update(B2=16, B3=16, B4=16, K4=64, B5=16, W_ins=64)
+    eng = ShardedLioEngine(cfg, mesh, budget_override=tiny)
+    s, m = eng.init_state(), eng.make_map()
+    saw_overflow = 0
+    for fid, prep in enumerate(preps, start=1):
+        sweep = SweepInput(
+            raw_pts=jnp.asarray(prep.raw_pts), t_rel=jnp.asarray(prep.t_rel),
+            pt_valid=jnp.asarray(prep.pt_valid),
+            imu_t=jnp.asarray(prep.imu_t), imu_dt=jnp.asarray(prep.imu_dt),
+            imu_acc=jnp.asarray(prep.imu_acc),
+            imu_gyr=jnp.asarray(prep.imu_gyr),
+            imu_valid=jnp.asarray(prep.imu_valid),
+            do_optimize=jnp.asarray(fid > 1),
+            threshold_capacity=jnp.int32(1))
+        out = eng.step(s, m, sweep, fid)
+        s, m = out.state, out.voxel_map
+        saw_overflow += int(out.route_overflow)
+        assert np.all(np.isfinite(np.asarray(s.p)))
+        assert np.all(np.isfinite(np.asarray(s.cov)))
+    assert saw_overflow > 0, "budgets this small must overflow"
+    assert int(eng.map_size(m)) > 0

@@ -163,3 +163,89 @@ def test_remove_far_voxels():
     _, ok, _ = vm.knn(m, near[:5], voxel_size=1.0, max_neighbors=5,
                       max_probe=PROBE, nb_voxels=1)
     assert bool(jnp.all(ok[:, 0]))
+
+
+def test_compact_map_reclaims_slots():
+    """compact_map = robin_map erase semantics: far voxels disappear AND
+    their slots become claimable again (the tombstone remove_far_voxels
+    leaves dead keys that saturate probe chains on long traverses)."""
+    m = vm.make_map(1 << 10, 5)
+    rng = np.random.RandomState(0)
+    near = rng.uniform(-5, 5, (600, 3)).astype(np.float32)
+    far = rng.uniform(95, 105, (600, 3)).astype(np.float32)
+    pts = np.concatenate([near, far])
+    m, acc = vm.insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool),
+                       1.0, 0.0, 8)
+    size0 = int(vm.map_size(m))
+    keys_near = set(map(tuple, np.asarray(
+        vm.voxel_coords(jnp.asarray(near), 1.0))))
+
+    # snapshot pre-compaction state (compact_map donates its input)
+    nc = vm.voxel_coords(jnp.asarray(near), 1.0)
+    ids0 = np.asarray(vm.lookup(m, nc, 8))
+    counts0 = np.asarray(m.counts)
+    K0 = m.block_capacity
+    blocks0 = np.asarray(vm.gather_blocks(
+        m.points, jnp.asarray(np.maximum(ids0, 0)), K0))
+
+    m2, dropped = vm.compact_map(m, jnp.zeros(3, jnp.float32),
+                                 distance=50.0, max_probe=8)
+    assert int(dropped) == 0
+    # every near voxel that made it into the original table is still
+    # resolvable after the rebuild, with identical block content
+    ids = np.asarray(vm.lookup(m2, nc, 8))
+    assert np.all(ids[ids0 >= 0] >= 0)
+    assert np.sum(ids0 >= 0) > 300
+    sel = np.nonzero(ids0 >= 0)[0]
+    np.testing.assert_array_equal(
+        counts0[ids0[sel]], np.asarray(m2.counts)[ids[sel]])
+    np.testing.assert_allclose(
+        blocks0[sel],
+        np.asarray(vm.gather_blocks(m2.points, jnp.asarray(ids[sel]), K0)))
+    # far voxels gone from keys, not just zero-counted
+    live_keys = np.asarray(m2.keys)[np.asarray(m2.counts) > 0]
+    for k in map(tuple, live_keys):
+        assert k in keys_near
+    assert int(vm.map_size(m2)) < size0
+    n_live_slots = int(np.sum(np.asarray(m2.sig) != vm.SIG_EMPTY))
+    assert n_live_slots == int(np.sum(np.asarray(m2.counts) > 0))
+
+
+def test_compact_map_survives_capacity_pressure():
+    """Long-traverse soak at deliberately small capacity: a sensor walks a
+    line inserting local structure; WITH periodic compaction the
+    insert-accept rate stays healthy to the end, WITHOUT it the table
+    saturates with dead keys (the round-3 failure mode)."""
+    cap, K = 1 << 11, 5
+    rng = np.random.RandomState(1)
+    steps, batch = 120, 512
+
+    def traverse(evict):
+        m = vm.make_map(cap, K)
+        acc_rate = []
+        for s in range(steps):
+            x0 = 2.0 * s                     # 2 m per step
+            pts = np.c_[rng.uniform(x0 - 8, x0 + 8, batch),
+                        rng.uniform(-6, 6, batch),
+                        rng.uniform(0, 3, batch)].astype(np.float32)
+            m, acc = vm.insert(m, jnp.asarray(pts),
+                               jnp.ones(batch, bool), 1.0, 0.2, 8)
+            # acceptance among NEW-voxel candidates: compare against a
+            # fresh-map insert of the same batch (upper bound)
+            acc_rate.append(float(jnp.sum(acc)) / batch)
+            if evict and s % 10 == 9:
+                loc = jnp.asarray([x0, 0.0, 1.5], jnp.float32)
+                m, _ = vm.compact_map(m, loc, distance=30.0, max_probe=8)
+        return np.array(acc_rate), m
+
+    rate_e, m_e = traverse(True)
+    rate_n, _ = traverse(False)
+    head_e = rate_e[10:30].mean()
+    tail_e = rate_e[-20:].mean()
+    tail_n = rate_n[-20:].mean()
+    # with compaction the tail keeps accepting like the head
+    assert tail_e > 0.7 * head_e, (head_e, tail_e)
+    # without reclamation the saturated table accepts far less
+    assert tail_e > 2.0 * tail_n, (tail_e, tail_n)
+    # live map stays bounded to the local neighborhood
+    assert int(vm.map_size(m_e)) < cap * K // 2
