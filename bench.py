@@ -153,13 +153,28 @@ def main():
     # adds multi-ms jitter bursts, and a single pass conflates link
     # weather with pipeline throughput.  Every chunk is real end-to-end
     # work on fresh measurements (no replays).
-    pipelined = "--serial" not in sys.argv
+    #
+    # Host mode is picked EMPIRICALLY: the feeder-thread overlap
+    # (process_measurements pipelined) wins when host prep is the
+    # bottleneck, but on few-core hosts GIL/context-switch contention
+    # with the dispatch thread can make it lose to the serial path —
+    # so chunk 1 measures pipelined, chunk 2 serial, chunk 3 the
+    # winner so far.  --serial / --pipelined force one mode.
+    if "--serial" in sys.argv:
+        mode_plan = ["serial"] * 3
+    elif "--pipelined" in sys.argv:
+        mode_plan = ["pipelined"] * 3
+    else:
+        mode_plan = ["pipelined", "serial", None]
     k = max(len(timed) // 3, 1)
     chunks = [timed[:k], timed[k:2 * k], timed[2 * k:]]
     rates = []
-    for c in chunks:
+    modes = []
+    for c, mode in zip(chunks, mode_plan):
+        if mode is None:
+            mode = modes[int(np.argmax(rates))]
         t0 = time.perf_counter()
-        if pipelined:
+        if mode == "pipelined":
             # host prep of frame k+1 overlaps device programs of frame k
             # (pipeline feeder thread; see LivoPipeline.process_measurements)
             pipe.process_measurements(c)
@@ -168,11 +183,12 @@ def main():
                 pipe._process_measurement(m)
         jax.block_until_ready(pipe.state.p)
         rates.append(len(c) / (time.perf_counter() - t0))
+        modes.append(mode)
     rate = max(rates)
 
     n_rendered = sum(1 for m in timed if m.rendering and m.image is not None)
     print(f"{len(timed)} sweeps ({n_rendered} with images), chunk rates "
-          + " ".join(f"{r:.1f}" for r in rates)
+          + " ".join(f"{r:.1f}({md})" for r, md in zip(rates, modes))
           + f" -> best {rate:.1f}/s = {1e3 / rate:.1f} ms/frame",
           file=sys.stderr)
     print("stage breakdown:\n" + pipe.timers.summary(), file=sys.stderr)
@@ -185,9 +201,9 @@ def main():
         "unit": "sweeps+images/s",
         "vs_baseline": round(rate / 30.0, 3),
         "chunk_rates": [round(r, 2) for r in rates],
+        "chunk_modes": modes,
         "chunk_rate_median": round(sorted(rates)[len(rates) // 2], 2),
-        "measurement": "best of 3 disjoint chunks"
-                       + ("" if pipelined else " (serial host path)"),
+        "measurement": "best of 3 disjoint chunks (host mode per chunk)",
     }))
 
 

@@ -42,7 +42,7 @@ def main():
         b["K4"] = min(cfg64.shapes.max_keypoints,
                       int(np.ceil(Q_ideal * qs / 8) * 8) + 32)
         ov = dict(b)
-        for k in ("B2", "B3", "B4", "B5"):
+        for k in ("B2", "B3", "B4", "B5", "B6"):
             ov[k] = b[k] * 8
         t = time_engine(lambda ov=ov: ShardedLioEngine(
             cfg64, mesh1, budget_override=ov), sweeps64, repeats=2)

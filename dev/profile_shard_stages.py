@@ -66,7 +66,7 @@ def main():
 
     bw = pershard_budgets(cfgw, n)
     ovw = dict(bw)
-    for k in ("B2", "B3", "B4", "B5"):
+    for k in ("B2", "B3", "B4", "B5", "B6"):
         ovw[k] = bw[k] * n
     print("budgets:", {k: v for k, v in ovw.items()}, file=sys.stderr)
 

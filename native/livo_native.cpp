@@ -209,6 +209,93 @@ int livo_remap_u8(const uint8_t* src, long sh, long sw, long channels,
     return 0;
 }
 
+// Fused sweep prepare + int16 wire pack (the hot host-side path of
+// LivoPipeline._host_prepare_measurement): window the point stream to
+// [begin, t_end], stride-decimate to max_points, compute the robust
+// 99.9th-percentile |xyz| scale, and quantize straight to the int16 wire
+// rows — skipping the padded float32 intermediate the numpy path builds.
+// Heavy loops run with the GIL released (ctypes), so a feeder thread
+// doing this work truly overlaps the dispatch thread.
+// pts: (n, 4) float64 [x y z t_abs] in stream order.
+// out_q: (max_points, 4) int16, padding rows are all -1.
+// Returns the number of packed points; *out_scale = meters per quantum.
+int livo_prepare_pack(const double* pts, long n, double begin, double t_end,
+                      double duration, long max_points, int16_t* out_q,
+                      double* out_scale) {
+    if (max_points <= 0) return -1;
+    // 1. contiguous window [begin, t_end] (stream is time-ordered;
+    //    makePointTimestamp drop semantics, lioOptimization.cpp:786-819)
+    std::vector<long> sel;
+    sel.reserve((size_t)(n < max_points ? n : max_points));
+    std::vector<long> win;
+    win.reserve((size_t)n);
+    for (long i = 0; i < n; i++) {
+        double t = pts[i * 4 + 3];
+        if (t >= begin && t <= t_end) win.push_back(i);
+    }
+    long m = (long)win.size();
+    if (m > max_points) {
+        // deterministic stride decimation (np.linspace(0, m-1, max) -> int)
+        double step = (double)(m - 1) / (double)(max_points - 1);
+        for (long i = 0; i < max_points; i++)
+            sel.push_back(win[(long)((double)i * step)]);
+    } else {
+        sel.swap(win);
+    }
+    long k = (long)sel.size();
+    // 2. robust scale: 99.9th percentile (linear interpolation, matching
+    //    np.percentile) of |xyz| as float32 values
+    double max_abs = 1.0;
+    if (k > 0) {
+        std::vector<float> av;
+        av.reserve((size_t)k * 3);
+        for (long i = 0; i < k; i++) {
+            const double* p = pts + sel[i] * 4;
+            av.push_back(std::fabs((float)p[0]));
+            av.push_back(std::fabs((float)p[1]));
+            av.push_back(std::fabs((float)p[2]));
+        }
+        size_t mm = av.size();
+        double pos = 0.999 * (double)(mm - 1);
+        size_t lo = (size_t)pos;
+        double frac = pos - (double)lo;
+        std::nth_element(av.begin(), av.begin() + lo, av.end());
+        double vlo = av[lo];
+        double vhi = vlo;
+        if (lo + 1 < mm) {
+            vhi = *std::min_element(av.begin() + lo + 1, av.end());
+        }
+        max_abs = vlo + (vhi - vlo) * frac;
+        if (max_abs <= 0.0) {
+            double mx = 0.0;
+            for (size_t i = 0; i < mm; i++) mx = std::max(mx, (double)av[i]);
+            max_abs = mx;
+        }
+    }
+    double scale = std::max(max_abs, 1e-6) / 32000.0;
+    *out_scale = scale;
+    // 3. quantize (f32 arithmetic + round-half-even, matching the numpy
+    //    pack_sweep path: f32 array ops with value-cast scalars)
+    double dur = std::max(duration, 1e-6);
+    float fs = (float)scale;
+    float fd = (float)dur;
+    for (long i = 0; i < k; i++) {
+        const double* p = pts + sel[i] * 4;
+        for (int j = 0; j < 3; j++) {
+            float q = nearbyintf((float)p[j] / fs);
+            q = q < -32767.f ? -32767.f : (q > 32767.f ? 32767.f : q);
+            out_q[i * 4 + j] = (int16_t)q;
+        }
+        float tr = (float)(p[3] - begin);
+        float a = nearbyintf(tr / fd * 32000.0f);
+        a = a < 0.f ? 0.f : (a > 32000.f ? 32000.f : a);
+        out_q[i * 4 + 3] = (int16_t)a;
+    }
+    for (long i = k; i < max_points; i++)
+        for (int j = 0; j < 4; j++) out_q[i * 4 + j] = -1;
+    return (int)k;
+}
+
 }  // extern "C" (point decoders)
 
 // ---------------------------------------------------------------------------

@@ -61,6 +61,9 @@ def base_cfg(scale: int = 1):
     cfg.odometry_options.min_distance_points = 0.05
     cfg.icp.size_voxel_map = 0.6
     cfg.icp.min_number_neighbors = 12
+    # the residual budget must scale with the workload too, or the IEKF's
+    # actual work is pinned at 600 rows regardless of scale
+    cfg.icp.max_num_residuals = 600 * scale
     cfg.shapes.max_sweep_points = 8192 * scale
     cfg.shapes.max_frame_points = 4096 * scale
     cfg.shapes.max_keypoints = 1024 * scale
@@ -71,8 +74,18 @@ def base_cfg(scale: int = 1):
 
 
 def build_sweeps(cfg, n=8, tile: int = 1):
-    """Padded SweepInputs from the synthetic world; `tile` repeats the
-    point payload to fill weak-scaling (n x) sweep budgets."""
+    """Padded SweepInputs from the synthetic world; `tile` replicates the
+    point payload at disjoint spatial EXTENTS (64 m grid offsets) to fill
+    weak-scaling (n x) sweep budgets.
+
+    Extent-tiling, not density-tiling: jittered same-extent copies
+    saturate at the world's surface-voxel count, so the subsample caps
+    bind and the "n x workload" stops creating n x keypoints/map voxels
+    (discovered when chunked association collapsed the padded-tail cost:
+    a density-tiled 8x baseline had ~1x actual work).  Disjoint extents
+    give genuinely n x voxels, keypoints, inserts, and map occupancy —
+    the BASELINE configs 4-5 regime map sharding exists for — and
+    spread the block-ownership load the way a larger mapped area does."""
     import jax.numpy as jnp
     from sr_livo_tpu.models.odometry import SweepInput
     from sr_livo_tpu.runtime import measurements as meas_mod
@@ -98,16 +111,20 @@ def build_sweeps(cfg, n=8, tile: int = 1):
         preps.append(prep)
     out = []
     N = cfg.shapes.max_sweep_points
-    rng = np.random.RandomState(7)
     for fid, prep in enumerate(preps, start=1):
-        pts, trel, val = prep.raw_pts, prep.t_rel, prep.pt_valid
-        if tile > 1 or pts.shape[0] != N:
+        # tile from the VALID payload only (prep.raw_pts is already
+        # padded to N, so tiling the padded array was a no-op — the
+        # round-3 "n x workload" never actually scaled; see docstring)
+        nv = prep.n_points
+        pts, trel, val = (prep.raw_pts[:nv], prep.t_rel[:nv],
+                          prep.pt_valid[:nv])
+        if pts.shape[0] != N:
             reps = int(np.ceil(N / pts.shape[0]))
-            # jitter the copies so they occupy distinct fine voxels
-            # (weak scaling = denser coverage, not duplicate points)
             pcs = [pts]
             for r in range(1, reps):
-                pcs.append(pts + rng.uniform(-0.5, 0.5, (1, 3)))
+                off = np.array([(r % 8) * 64.0, ((r // 8) % 8) * 64.0,
+                                (r // 64) * 64.0], np.float32)
+                pcs.append(pts + off)
             pts = np.concatenate(pcs)[:N]
             trel = np.concatenate([trel] * reps)[:N]
             val = np.concatenate([val] * reps)[:N]
@@ -154,21 +171,22 @@ def pershard_budgets(cfg, n):
 def comm_model(b, n, iters=6, cap=False):
     """Per-sweep collective cost from exact buffer sizes.
 
-    Round-4 collective inventory: 4 all_to_alls (validity packed into
-    the row matrices), 2 rank-histogram psums (N_tot + F floats,
-    replacing round-3's scalar all_gathers AND its per-iteration
-    rank/good all_gather), one packed psum per IEKF iteration (+1 (Q,)
-    good-flag histogram psum per iteration when the residual cap is
-    on), one (F,) insert-gate histogram psum when max_insert_points
-    caps globally, and ONE fused output psum."""
-    a2a_bytes = n * (b["B2"] * 25 + b["B3"] * 25 + b["B4"] * 21
-                     + b["B5"] * 21)
+    Round-4 collective inventory: 5 all_to_alls (validity packed into
+    the row matrices; the 5th is the owner-insert ACCEPTED-replay leg),
+    2 rank-histogram psums (N_tot + F floats, replacing round-3's
+    scalar all_gathers AND its per-iteration rank/good all_gather), one
+    packed psum per IEKF iteration (+1 (Q,) good-flag histogram psum
+    per iteration when the residual cap is on), one (F,) insert-gate
+    histogram psum when max_insert_points caps globally, and ONE fused
+    output psum."""
+    a2a_bytes = n * (b["B2"] * 24 + b["B3"] * 24 + b["B4"] * 20
+                     + b["B5"] * 20 + b["B6"] * 20)
     N_tot = b["Ns"] * n
     ag_bytes = (N_tot + b["F_seg"] * n) * 4 * 2 \
         + (b["K4"] * 4 * 2 * iters if cap else 0)
     psum_bytes = iters * 43 * 4 * 2
     out_bytes = 0  # output psum overlaps next-frame host work
-    n_coll = 4 + 2 + 1 + iters * (2 if cap else 1)
+    n_coll = 5 + 2 + 1 + iters * (2 if cap else 1)
     return (a2a_bytes + ag_bytes + psum_bytes + out_bytes) / ICI_BW \
         + n_coll * COLL_LAT
 
@@ -208,7 +226,7 @@ def main():
         ov = dict(b)
         # received-buffer sizes on the 1-device mesh are 1*B; force them
         # to the n-shard received size n*B
-        for k in ("B2", "B3", "B4", "B5"):
+        for k in ("B2", "B3", "B4", "B5", "B6"):
             ov[k] = b[k] * n
         t = time_engine(
             lambda ov=ov: ShardedLioEngine(cfg, mesh1, budget_override=ov),
@@ -256,7 +274,7 @@ def main():
         cfgw = base_cfg(scale=n)
         bw = pershard_budgets(cfgw, n)
         ovw = dict(bw)
-        for k in ("B2", "B3", "B4", "B5"):
+        for k in ("B2", "B3", "B4", "B5", "B6"):
             ovw[k] = bw[k] * n
         sweeps_w = build_sweeps(cfgw, tile=n)
         t = time_engine(
@@ -267,8 +285,14 @@ def main():
               f"{t*1e3:.2f} ms", file=sys.stderr)
 
     # 5. raw virtual-device walls (honest floor, round-2 style;
-    #    CPU-only — the TPU has one physical chip)
+    #    CPU-only — the TPU has one physical chip) + the REAL-mesh
+    #    route_overflow check: the 1-device per-shard proxies above
+    #    report nonzero overflow because their local slice skips the
+    #    hash-range spreading (a proxy artifact); only the real n-shard
+    #    mesh's counter is meaningful, and it must be zero for the
+    #    budgets to be honest.
     t_virtual = {}
+    overflow_real_mesh = None
     if not args.tpu:
         for n in (1, 2, 8):
             t_virtual[n] = time_engine(
@@ -276,6 +300,16 @@ def main():
                 sweeps, repeats=2)
             print(f"[scaling] virtual {n}-device wall: "
                   f"{t_virtual[n]*1e3:.2f} ms", file=sys.stderr)
+        engv = ShardedLioEngine(base_cfg(scale=8), mesh_mod.make_mesh(8))
+        stv, vmv = engv.init_state(), engv.make_map()
+        sw8 = build_sweeps(base_cfg(scale=8), tile=8)
+        overflow_real_mesh = []
+        for fid, s in enumerate(sw8, start=1):
+            o = engv.step(stv, vmv, s, fid)
+            stv, vmv = o.state, o.voxel_map
+            overflow_real_mesh.append(int(o.route_overflow))
+        print(f"[scaling] real-mesh (8-dev) weak-8 route_overflow/sweep: "
+              f"{overflow_real_mesh}", file=sys.stderr)
 
     # 4b. SATURATING weak point: per-chip workload large enough that
     #     the step is compute-bound rather than dispatch/latency-bound
@@ -288,7 +322,7 @@ def main():
     cfg64 = base_cfg(scale=64)
     b64 = pershard_budgets(cfg64, 8)
     ov64 = dict(b64)
-    for k in ("B2", "B3", "B4", "B5"):
+    for k in ("B2", "B3", "B4", "B5", "B6"):
         ov64[k] = b64[k] * 8
     sweeps64 = build_sweeps(cfg64, n=4, tile=64)
     t_weak64 = time_engine(
@@ -320,6 +354,7 @@ def main():
                                   for n, t in t_weak.items()},
         "step_ms_virtual_wall": {n: round(t * 1e3, 3)
                                  for n, t in t_virtual.items()},
+        "route_overflow_real_mesh_weak8": overflow_real_mesh,
         "replicated_ms": round(t_repl * 1e3, 3),
         "replicated_fraction": round(t_repl / t_single, 4),
         "comm_model": {"ici_bw_gbs": ICI_BW / 1e9,

@@ -230,6 +230,12 @@ class ShapeOptions:
     # taxing the steady state.  Raise it for worlds where one map block
     # persistently dominates the view.
     shard_query_slack: float = 2.0
+    # Chunked association: the IEKF's kNN + plane PCA runs over
+    # `query_chunk`-row slices of the prefix-compacted query buffer with
+    # a dynamic trip count, so compute follows the ACTUAL query count
+    # instead of the static budget (max_keypoints / the sharded K4 with
+    # its imbalance slack).  Headroom becomes free; 0 = full-batch.
+    query_chunk: int = 512
 
 
 @dataclass

@@ -137,6 +137,49 @@ def _plane_rows_jnp(neighbors, n_found, world, location, r_world,
         min_neighbors=min_neighbors)
 
 
+def chunked_assoc(voxel_map, world, n_valid, *, voxel_size, max_neighbors,
+                  max_probe, nb_voxels, threshold_capacity, chunk):
+    """kNN + neighborhood PCA over only the VALID PREFIX of `world`,
+    processed in `chunk`-row slices inside a dynamic-trip-count loop.
+
+    The padded tail of a static query buffer costs as much as real
+    queries in a full-batch association — and the sharded engine's query
+    budget (K4) carries multiplicative slack for spatial imbalance, so
+    at weak scaling the tail is most of the buffer.  Chunking makes the
+    headroom free: compute scales with the actual query count (rounded
+    up to `chunk`), not the budget.  Requires valid rows to be a prefix
+    (frame_ops.voxel_subsample and routing.compact both emit
+    prefix-compacted outputs).  Ragged edges are safe: dynamic_slice
+    clamps the start, so the last chunk re-processes a few rows with
+    identical results.
+
+    Returns (normal (Q, 3), a2d (Q,), closest (Q, 3), n_found (Q,));
+    rows beyond the processed prefix are zero (n_found 0 -> gated
+    downstream exactly like an un-chunked association of padded rows).
+    """
+    q = world.shape[0]
+    chunk = min(chunk, q)
+    n_chunks = (jnp.asarray(n_valid, jnp.int32) + chunk - 1) // chunk
+
+    def body(i, bufs):
+        nrm, a2, cl, nf = bufs
+        off = i * chunk
+        w = jax.lax.dynamic_slice_in_dim(world, off, chunk)
+        neighbors, nb_ok, _ = vm.knn(
+            voxel_map, w, voxel_size=voxel_size,
+            max_neighbors=max_neighbors, max_probe=max_probe,
+            nb_voxels=nb_voxels, threshold_capacity=threshold_capacity)
+        nfc = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
+        n0, a0, _ = nb_ops.neighborhood_distribution(neighbors, nfc)
+        upd = jax.lax.dynamic_update_slice_in_dim
+        return (upd(nrm, n0, off, 0), upd(a2, a0, off, 0),
+                upd(cl, neighbors[:, 0, :], off, 0), upd(nf, nfc, off, 0))
+
+    bufs0 = (jnp.zeros((q, 3), world.dtype), jnp.zeros((q,), world.dtype),
+             jnp.zeros((q, 3), world.dtype), jnp.zeros((q,), jnp.int32))
+    return jax.lax.fori_loop(0, n_chunks, body, bufs0)
+
+
 def _cap_residuals(h_x, h, good, max_num_residuals):
     """Residual cap in keypoint order (optimize.cpp:107)."""
     if max_num_residuals > 0:
@@ -190,7 +233,7 @@ def _error_vs_prediction(state: EskfState, pred: EskfState):
                      "threshold_translation_norm",
                      "threshold_orientation_norm", "laser_point_cov",
                      "check_convergence", "use_pallas",
-                     "cache_association"))
+                     "cache_association", "query_chunk"))
 def iekf_update(
     state: EskfState,
     voxel_map: vm.VoxelMap,
@@ -217,6 +260,7 @@ def iekf_update(
     check_convergence: bool = True,
     use_pallas: bool = False,
     cache_association: bool = False,
+    query_chunk: int = 0,
     seed_q: jnp.ndarray = None,
     seed_p: jnp.ndarray = None,
 ) -> Tuple[EskfState, IekfSummary]:
@@ -251,15 +295,26 @@ def iekf_update(
         world0 = lie.quat_rotate(
             jnp.broadcast_to(state.q, (location.shape[0], 4)),
             location) + state.p
-        neighbors, nb_ok, _ = vm.knn(
-            voxel_map, world0, voxel_size=size_voxel_map,
-            max_neighbors=max_number_neighbors, max_probe=max_probe,
-            nb_voxels=nb_voxels_visited,
-            threshold_capacity=threshold_voxel_capacity)
-        n_found = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
-        normal0, a2d, _ = nb_ops.neighborhood_distribution(
-            neighbors, n_found)
-        closest = neighbors[:, 0, :]
+        if query_chunk and query_chunk < location.shape[0]:
+            # keypoints are prefix-compacted (frame_ops.voxel_subsample),
+            # so the association only computes the occupied prefix
+            normal0, a2d, closest, n_found = chunked_assoc(
+                voxel_map, world0, jnp.sum(keypts_valid),
+                voxel_size=size_voxel_map,
+                max_neighbors=max_number_neighbors, max_probe=max_probe,
+                nb_voxels=nb_voxels_visited,
+                threshold_capacity=threshold_voxel_capacity,
+                chunk=query_chunk)
+        else:
+            neighbors, nb_ok, _ = vm.knn(
+                voxel_map, world0, voxel_size=size_voxel_map,
+                max_neighbors=max_number_neighbors, max_probe=max_probe,
+                nb_voxels=nb_voxels_visited,
+                threshold_capacity=threshold_voxel_capacity)
+            n_found = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
+            normal0, a2d, _ = nb_ops.neighborhood_distribution(
+                neighbors, n_found)
+            closest = neighbors[:, 0, :]
 
         def residuals(s: EskfState) -> ResidualBatch:
             world = lie.quat_rotate(

@@ -203,7 +203,8 @@ def _sweep_core(state: EskfState,
             threshold_orientation_norm=icp.threshold_orientation_norm,
             laser_point_cov=cfg.laser_point_cov,
             use_pallas=_resolve_use_pallas(cfg),
-            cache_association=cfg.cache_association)
+            cache_association=cfg.cache_association,
+            query_chunk=sh.query_chunk)
 
     state_upd, summary = _update(nb_voxels)
     if cfg.retry_wider_neighborhood:
@@ -236,7 +237,7 @@ def _sweep_core(state: EskfState,
     voxel_map_new, inserted = vm.insert(
         voxel_map, frame_world, insert_valid, icp.size_voxel_map,
         odo.min_distance_points, sh.map_max_probe,
-        budget=sh.max_insert_points)
+        budget=sh.max_insert_points, gate_chunk=sh.query_chunk)
 
     summary = summary._replace(success=success)
     return SweepOutput(state=state_new, voxel_map=voxel_map_new,

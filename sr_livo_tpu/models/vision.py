@@ -93,6 +93,7 @@ class VisionModule:
         self._pre_u8_jit = None
         self._pre_pyr_jit = None
         self._pre_pyr_u8_jit = None
+        self._fused_jit = {}      # remapped(bool) -> jitted fused frame
         self.first_data = True
         self.n_new_visited = jnp.int32(1)
         self._rng = jax.random.PRNGKey(7)
@@ -228,18 +229,24 @@ class VisionModule:
 
     # -- main per-rendering-frame entry ----------------------------------
     def process_frame(self, pipeline, meas, sweep_out, host_img=None):
+        """Whole rendered frame — colored-map insert (the addPointsToMap
+        color leg of THIS sweep) + image preprocess/pyramid + the full
+        vision step — as ONE dispatched device program.  On a tunneled
+        TPU each dispatch costs ~0.2-0.6 ms of serial host time, so
+        fusing the former 3 dispatches is a direct wall win.  The first
+        rendered frame (track seeding, no previous pyramid) keeps the
+        unfused path."""
         state = sweep_out.state
         q_wi, t_wi = state.q, state.p
         obs_time = meas.time_image
         timers = pipeline.timers
 
-        with timers.stage("vis_preprocess"):
-            rgb, gray, cur_pyr = self.preprocess_with_pyramid(
-                meas.image, host_img=host_img)
-            if timers.sync:
-                jax.block_until_ready(gray)
-
         if self.first_data:
+            self.insert_sweep_points(
+                sweep_out.frame_pts_world, sweep_out.frame_valid,
+                sweep_out.summary.success, obs_time)
+            _rgb, _gray, cur_pyr = self.preprocess_with_pyramid(
+                meas.image, host_img=host_img)
             self._init_tracks(q_wi, t_wi, obs_time)
             self.prev_pyr = cur_pyr
             self.prev_time = obs_time
@@ -247,23 +254,51 @@ class VisionModule:
             return
 
         dt = obs_time - self.prev_time
+        img_u8, remapped = (host_img if host_img is not None
+                            else self._host_prepare(meas.image))
+        if self._fused_jit.get(remapped) is None:
+            self._fused_jit[remapped] = jax.jit(
+                functools.partial(self._fused_frame_core, remapped=remapped),
+                donate_argnums=(1, 2, 3))
         with timers.stage("vis_step"):
             (self.camera, self.color_map, self.tracks, stats_vec,
-             self._rng) = _vision_step(
-                self.camera, self.color_map, self.tracks,
-                self.prev_pyr, cur_pyr, rgb, q_wi, t_wi,
-                np.array([dt, obs_time], np.float32),
-                self.n_new_visited, self._rng,
-                lk_params=self.lk_params,
-                cols=self.cols, rows=self.rows,
-                track_grid=self.track_grid,
-                max_render_points=self.cfg.shapes.max_render_points,
-                estimate_intrinsic=True, estimate_extrinsic=True)
+             self._rng, cur_pyr) = self._fused_jit[remapped](
+                self.camera, self.color_map, self.tracks, self.prev_pyr,
+                jnp.asarray(img_u8), sweep_out.frame_pts_world,
+                sweep_out.frame_valid, sweep_out.summary.success,
+                q_wi, t_wi, np.array([dt, obs_time], np.float32),
+                self._rng)
             if timers.sync:
                 jax.block_until_ready(self.camera.intr)
         self._stats_pending.append((float(obs_time), stats_vec))
         self.prev_pyr = cur_pyr
         self.prev_time = obs_time
+
+    def _fused_frame_core(self, camera, color_map, tracks, prev_pyr, img_u8,
+                          frame_pts, frame_valid, success, q_wi, t_wi,
+                          scal, key, *, remapped):
+        """Traced body of the fused rendered-frame program: gated color
+        insert -> preprocess + pyramid -> vision step.  `scal` packs
+        [dt, obs_time]; the insert's n_new_visited feeds the ESIKFs
+        without a host round trip."""
+        mo = self.cfg.map_options
+        color_map, n_new_visited = _gated_color_insert_core(
+            color_map, frame_pts, frame_valid, success, scal[1],
+            step=mo.add_point_step, voxel_size=mo.size_voxel_map,
+            min_distance=mo.min_distance_points,
+            max_probe=self.cfg.shapes.map_max_probe,
+            budget=self.cfg.shapes.max_insert_points)
+        rgb, gray = (self._preprocess_from_u8(img_u8) if remapped
+                     else self._preprocess_core(img_u8))
+        cur_pyr = lk.precompute_frame(gray, self.lk_params.levels)
+        camera, color_map, tracks, stats_vec, key = _vision_step_core(
+            camera, color_map, tracks, prev_pyr, cur_pyr, rgb, q_wi, t_wi,
+            scal, n_new_visited, key,
+            lk_params=self.lk_params, cols=self.cols, rows=self.rows,
+            track_grid=self.track_grid,
+            max_render_points=self.cfg.shapes.max_render_points,
+            estimate_intrinsic=True, estimate_extrinsic=True)
+        return camera, color_map, tracks, stats_vec, key, cur_pyr
 
     @property
     def stats(self):
@@ -296,10 +331,9 @@ class VisionModule:
             active=ok)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=(
-    "step", "voxel_size", "min_distance", "max_probe", "budget"))
-def _gated_color_insert(cmap, pts_world, frame_valid, success, obs_time, *,
-                        step, voxel_size, min_distance, max_probe, budget):
+def _gated_color_insert_core(cmap, pts_world, frame_valid, success, obs_time,
+                             *, step, voxel_size, min_distance, max_probe,
+                             budget):
     """success-gate + add_point_step stride + color_insert as ONE program
     (static stride: a 4x smaller batch means 4x fewer probe gathers, the
     dominant insert cost on TPU, vs masking)."""
@@ -312,10 +346,13 @@ def _gated_color_insert(cmap, pts_world, frame_valid, success, obs_time, *,
                            max_probe=max_probe, budget=budget)
 
 
-@functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=(
-    "lk_params", "cols", "rows", "track_grid",
-    "max_render_points", "estimate_intrinsic", "estimate_extrinsic"))
-def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
+_gated_color_insert = functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=(
+        "step", "voxel_size", "min_distance", "max_probe", "budget")
+)(_gated_color_insert_core)
+
+
+def _vision_step_core(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
                  q_wi, t_wi, scal, n_new_visited, key, *,
                  lk_params, cols, rows, track_grid,
                  max_render_points, estimate_intrinsic, estimate_extrinsic):
@@ -459,3 +496,10 @@ def _vision_step(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     # host stats list instead of two scalars + an eager stack
     return (camera, color_map, tracks_new,
             jnp.stack([jnp.sum(status), jnp.sum(keep)]), key_next)
+
+
+_vision_step = functools.partial(
+    jax.jit, donate_argnums=(1, 2), static_argnames=(
+        "lk_params", "cols", "rows", "track_grid",
+        "max_render_points", "estimate_intrinsic", "estimate_extrinsic")
+)(_vision_step_core)

@@ -215,16 +215,48 @@ def _insert_gate_phase(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     return ok_existing | needs_claim, slot, blk_cnt
 
 
+def _insert_gate_phase_chunked(vmap: VoxelMap, pts, valid, coords,
+                               min_distance: float, max_probe: int,
+                               chunk: int):
+    """_insert_gate_phase over only the VALID PREFIX of the batch, in
+    `chunk`-row slices with a dynamic trip count.  The gate is per-row
+    (probe + block-distance vs the PRE-insert table only), so chunking
+    is exact; the skipped tail gets (False, -1, 0) — identical to what
+    the full-batch phase returns for invalid rows.  Static insert
+    budgets can then carry imbalance slack without paying probe work
+    for the padding (same trick as models.lio.chunked_assoc)."""
+    n = pts.shape[0]
+    chunk = min(chunk, n)
+    n_chunks = (jnp.sum(valid).astype(jnp.int32) + chunk - 1) // chunk
+
+    def body(i, bufs):
+        cm, sl, bc = bufs
+        off = i * chunk
+        sli = lambda a: jax.lax.dynamic_slice_in_dim(a, off, chunk)
+        m, s, b = _insert_gate_phase(vmap, sli(pts), sli(valid),
+                                     sli(coords), min_distance, max_probe)
+        upd = jax.lax.dynamic_update_slice_in_dim
+        return (upd(cm, m, off, 0), upd(sl, s, off, 0), upd(bc, b, off, 0))
+
+    bufs0 = (jnp.zeros((n,), bool), jnp.full((n,), -1, jnp.int32),
+             jnp.zeros((n,), jnp.int32))
+    return jax.lax.fori_loop(0, n_chunks, body, bufs0)
+
+
 def insert_gate(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
-                voxel_size: float, min_distance: float, max_probe: int
-                ) -> jnp.ndarray:
+                voxel_size: float, min_distance: float, max_probe: int,
+                gate_chunk: int = 0) -> jnp.ndarray:
     """Standalone candidate predicate of insert() (phases 1-2 only):
     which points of the batch would be insertion candidates against the
     CURRENT table.  Used by the sharded engine to reproduce the
     single-chip `budget` prefix globally (parallel.sharded_lio)."""
     coords = voxel_coords(pts, voxel_size)
-    gate, _slot, _cnt = _insert_gate_phase(vmap, pts, valid, coords,
-                                           min_distance, max_probe)
+    if gate_chunk and gate_chunk < pts.shape[0]:
+        gate, _slot, _cnt = _insert_gate_phase_chunked(
+            vmap, pts, valid, coords, min_distance, max_probe, gate_chunk)
+    else:
+        gate, _slot, _cnt = _insert_gate_phase(vmap, pts, valid, coords,
+                                               min_distance, max_probe)
     return gate
 
 
@@ -232,6 +264,7 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
            voxel_size: float, min_distance: float, max_probe: int,
            point_ids: Optional[jnp.ndarray] = None,
            budget: Optional[int] = None,
+           gate_chunk: int = 0,
            ) -> Tuple[VoxelMap, jnp.ndarray]:
     """Insert a batch of world points with addPointToMap semantics.
 
@@ -250,6 +283,10 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     call — on a live map the same voxels reappear next sweep, so the map
     self-heals; None processes the full batch.
 
+    `gate_chunk` > 0 runs the probe/distance gate phase over only the
+    VALID PREFIX of the batch in chunks (requires prefix-compacted
+    validity; exact — the gate is per-row against the pre-insert table).
+
     Returns (new_map, accepted) where accepted is a bool mask of points that
     were stored.  `point_ids` optionally tags stored points with an external
     payload id (used by the color-map registry).
@@ -264,8 +301,12 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     keys = vmap.keys
     sig_col = vmap.sig
 
-    cand_mask, slot, blk_cnt = _insert_gate_phase(
-        vmap, pts, valid, coords, min_distance, max_probe)
+    if gate_chunk and gate_chunk < n:
+        cand_mask, slot, blk_cnt = _insert_gate_phase_chunked(
+            vmap, pts, valid, coords, min_distance, max_probe, gate_chunk)
+    else:
+        cand_mask, slot, blk_cnt = _insert_gate_phase(
+            vmap, pts, valid, coords, min_distance, max_probe)
 
     # Phase 3 — compact candidates to the budget (stable by index) with a
     # cumsum scatter (cheaper than a full-length sort).

@@ -19,11 +19,23 @@ work and owner-routes the rest:
     (optimize.cpp:107).
   * **Block-owner map with voxel halos.**  Voxels are grouped into
     (2^map_block_bits)^3 spatial blocks; a block's owner stores it plus
-    every voxel within `map_halo_voxels` of its blocks (inserts are
-    routed to the <=8 distinct corner-block owners).  A keypoint routed
-    to its center-block owner finds its whole 27/125-voxel kNN
+    every voxel within `map_halo_voxels` of its blocks.  A keypoint
+    routed to its center-block owner finds its whole 27/125-voxel kNN
     neighborhood (searchNeighbors, optimize.cpp:365-426) in that
     shard's LOCAL table — no candidate exchange, no merge.
+  * **Owner-insert + accepted-replay** (round 4).  Each frame row is
+    routed ONCE to its primary owner, which runs the gate, the global
+    insert-budget prefix, and the insert; only the ACCEPTED rows are
+    replayed to the other corner-block owners, which apply them in
+    frame-rank order — reproducing the owner's per-voxel outcome
+    bit-for-bit while the heavy probe work runs once per point instead
+    of once per storing replica (~2.2x at block_bits=4).
+  * **Compute follows actual load, not static budgets.**  The IEKF
+    association (models.lio.chunked_assoc) and the insert gate phase
+    (ops.voxel_map gate_chunk) process only the valid prefix of their
+    padded buffers in dynamic-trip-count chunks, so the spatial
+    imbalance slack in K4/W_ins/C_rep costs buffer memory, not
+    per-sweep probe work.
   * **Per-iteration collectives: one packed psum.**  Each IEKF
     iteration reduces [H^T H | H^T h | num] as a single 43-float psum;
     the global residual-cap prefix rides one small bool all_gather
@@ -85,24 +97,36 @@ def compute_budgets(cfg: LivoConfig, n: int) -> dict:
     slack = float(sh.shard_route_slack)
     N, F, Q = sh.max_sweep_points, sh.max_frame_points, sh.max_keypoints
     Ns = N // n
-    dup = 2.0                        # halo-corner insert duplication bound
+    dup = 2.5   # halo-corner duplication bound (measured avg distinct
+    #             corner owners ~2.2 at block_bits=4, halo=2)
     # per-shard insert work honors the single-chip insert budget
     # semantics (vm.insert budget=max_insert_points caps candidates)
     I = min(F, sh.max_insert_points) if sh.max_insert_points else F
     return dict(
         Ns=Ns,
         B2=min(Ns, head(Ns / n)),                    # frame route / dest
-        F_seg=min(F, head(1.5 * F / n)),             # frame segment
-        B3=min(F, head(1.5 * F / n / n)),            # keypoint route / dest
-        K_seg=min(Q, head(1.5 * Q / n)),             # keypoint segment
+        # segments hold only POST-CAP survivors (ranks are computed
+        # before compaction), Binomial(F, 1/n) per hash-range owner
+        F_seg=min(F, head(F / n)),                   # frame segment
+        B3=min(F, head(F / n / n)),                  # keypoint route / dest
+        K_seg=min(Q, head(Q / n)),                   # keypoint segment
         B4=min(Q, rup(Q / n / n * slack + 32)),      # query route / dest
-        # K4 sizes the IEKF's per-shard query batch — the ONE budget that
-        # multiplies real per-iteration compute (kNN + plane rows), so it
-        # gets its own tighter slack knob: queries beyond it drop (counted)
-        # rather than inflating every shard's steady-state step.
+        # K4 sizes the IEKF's per-shard query batch; with chunked
+        # association (ShapeOptions.query_chunk) the imbalance slack
+        # costs buffer memory, not per-sweep kNN compute.
         K4=min(Q, rup(Q / n * max(float(sh.shard_query_slack), 1.0) + 32)),
-        B5=min(F, rup(dup * F / n / n * slack + 32)),  # insert route / dest
-        W_ins=min(2 * I, rup(dup * I / n * max(slack / 2.7, 1.0) + 64)),
+        # owner-insert: each frame row routes ONCE to its primary owner.
+        # W_ins carries slack for block-density imbalance (measured
+        # ~1.33 max/mean on extent workloads), but vm.insert's chunked
+        # gate phase (gate_chunk=query_chunk) probes only the valid
+        # prefix, so the slack costs buffer memory, not probe work.
+        B5=min(F, rup(F / n / n * slack + 32)),      # insert route / dest
+        W_ins=min(F, rup(F / n * max(slack / 2.7, 1.0) + 64)),
+        # replay leg: EXTRA copies of accepted rows (<= insert budget I)
+        # beyond the primary owner — (dup - 1) of the dup-bounded total
+        C_rep=min(8 * I, rup((dup - 1.0) * I / n
+                             * max(slack / 2.7, 1.0) + 64)),
+        B6=min(F, rup((dup - 1.0) * I / n / n * slack + 32)),
         local_capacity=max(2 * sh.map_capacity // n, 1 << 10),
     )
 
@@ -125,7 +149,8 @@ class ShardedLioEngine:
     def __init__(self, cfg: LivoConfig, mesh: Mesh, dtype=jnp.float32,
                  budget_override: dict = None):
         """`budget_override` force-sets any of the static routing budgets
-        (Ns, B2, F_seg, B3, K_seg, B4, K4, B5, W_ins, local_capacity) —
+        (Ns, B2, F_seg, B3, K_seg, B4, K4, B5, W_ins, C_rep, B6,
+        local_capacity) —
         used by scripts/scaling_bench.py to reproduce the exact n-shard
         per-shard program shapes on a 1-device mesh (collectives become
         identities there), isolating per-shard compute from collective
@@ -303,29 +328,36 @@ class ShardedLioEngine:
                                                  self.B2)
         overflow += d
         rcv, rval = routing.exchange(buf, bval, MAP_AXIS)
-        #    (c) exact dedup within my hash range (winner = min gidx) and
-        #    stable compaction — received rows arrive in global stream
-        #    order (source chunks are contiguous ascending index slices)
+        #    (c) exact dedup within my hash range (winner = min gidx)
         fh_r = jnp.where(rval, routing.unpack_col_i32(rcv, 3), I32_MAX)
         gidx_r = routing.unpack_col_i32(rcv, 4)
         win2 = frame_ops.bucket_dedup_min(fh_r, gidx_r, rval)
-        seg_rows, seg_val, d = routing.compact(rcv, win2, self.F_seg)
-        overflow += d
-        frame_pt_s = seg_rows[:, 0:3]
-        gidx_seg = routing.unpack_col_i32(seg_rows, 4)
-        #    (d) exact global STREAM-ORDER ranks: ONE winner-histogram
-        #    psum over the gidx space + an exclusive cumsum reproduces
-        #    the single-chip voxel_subsample row ranks bit-for-bit
+        #    (d) exact global STREAM-ORDER ranks BEFORE compaction: ONE
+        #    winner-histogram psum over the gidx space + an exclusive
+        #    cumsum reproduces the single-chip voxel_subsample row ranks
+        #    bit-for-bit.  Ranking first means the segment only has to
+        #    hold post-cap survivors — Binomial(F, 1/n) per hash-range
+        #    owner — so F_seg carries additive headroom instead of the
+        #    round-3 1.5x multiplicative slack (every downstream stage,
+        #    including the 8-corner insert leg, shrinks with it).
         N_tot = sh.max_sweep_points
-        oob_f = N_tot + jnp.arange(self.F_seg, dtype=jnp.int32)
+        R = rcv.shape[0]
+        oob_f = N_tot + jnp.arange(R, dtype=jnp.int32)
         flags_f = jnp.zeros((N_tot,), jnp.float32).at[
-            jnp.where(seg_val, jnp.clip(gidx_seg, 0, N_tot - 1), oob_f)
+            jnp.where(win2, jnp.clip(gidx_r, 0, N_tot - 1), oob_f)
         ].set(1.0, mode="drop", unique_indices=True)
         flags_f = jax.lax.psum(flags_f, MAP_AXIS)
         pref_f = jnp.cumsum(flags_f) - flags_f
-        r_f = pref_f[jnp.clip(gidx_seg, 0, N_tot - 1)].astype(jnp.int32)
-        seg_val = seg_val & (r_f < sh.max_frame_points)   # global max_out
-        r_f = jnp.where(seg_val, r_f, I32_MAX)
+        r_f_rcv = pref_f[jnp.clip(gidx_r, 0, N_tot - 1)].astype(jnp.int32)
+        keep2 = win2 & (r_f_rcv < sh.max_frame_points)    # global max_out
+        seg_rows, seg_val, d = routing.compact(rcv, keep2, self.F_seg)
+        overflow += d
+        frame_pt_s = seg_rows[:, 0:3]
+        gidx_seg = routing.unpack_col_i32(seg_rows, 4)
+        r_f = jnp.where(
+            seg_val,
+            pref_f[jnp.clip(gidx_seg, 0, N_tot - 1)].astype(jnp.int32),
+            I32_MAX)
 
         # 4. Keypoint grid sample — same machinery at the sample voxel.
         #    Winner per cell = min frame rank (the single-chip stream-
@@ -342,19 +374,24 @@ class ShardedLioEngine:
         kph_r = jnp.where(rval2, routing.unpack_col_i32(rcv2, 3), I32_MAX)
         rf_r2 = routing.unpack_col_i32(rcv2, 4)
         win3 = frame_ops.bucket_dedup_min(kph_r, rf_r2, rval2)
-        kseg_rows, kseg_val, d = routing.compact(rcv2, win3, self.K_seg)
-        overflow += d
-        kp_rf = routing.unpack_col_i32(kseg_rows, 4)
+        #    keypoint ranks pre-compaction too (K_seg = head(Q/n))
         F_cap = sh.max_frame_points
-        oob_k = F_cap + jnp.arange(self.K_seg, dtype=jnp.int32)
+        R2 = rcv2.shape[0]
+        oob_k = F_cap + jnp.arange(R2, dtype=jnp.int32)
         flags_k = jnp.zeros((F_cap,), jnp.float32).at[
-            jnp.where(kseg_val, jnp.clip(kp_rf, 0, F_cap - 1), oob_k)
+            jnp.where(win3, jnp.clip(rf_r2, 0, F_cap - 1), oob_k)
         ].set(1.0, mode="drop", unique_indices=True)
         flags_k = jax.lax.psum(flags_k, MAP_AXIS)
         pref_k = jnp.cumsum(flags_k) - flags_k
-        r_k = pref_k[jnp.clip(kp_rf, 0, F_cap - 1)].astype(jnp.int32)
-        kseg_val = kseg_val & (r_k < sh.max_keypoints)
-        r_k = jnp.where(kseg_val, r_k, I32_MAX)
+        r_k_rcv = pref_k[jnp.clip(rf_r2, 0, F_cap - 1)].astype(jnp.int32)
+        keep3 = win3 & (r_k_rcv < sh.max_keypoints)
+        kseg_rows, kseg_val, d = routing.compact(rcv2, keep3, self.K_seg)
+        overflow += d
+        kp_rf = routing.unpack_col_i32(kseg_rows, 4)
+        r_k = jnp.where(
+            kseg_val,
+            pref_k[jnp.clip(kp_rf, 0, F_cap - 1)].astype(jnp.int32),
+            I32_MAX)
         key_pt_s = kseg_rows[:, 0:3]      # end-frame LiDAR coords
 
         # 5. Route keypoints to their center-block owner (one dest each;
@@ -403,31 +440,34 @@ class ShardedLioEngine:
             state_upd, state_pred)
         success = jnp.where(sweep.do_optimize, summary.success, True)
 
-        # 7. Insert my frame segment, routed to the <=8 distinct
-        #    corner-block owners (every shard storing the voxel — owner
-        #    or halo — receives the same candidate set, so replicas stay
-        #    identical and per-voxel outcomes match the single chip).
+        # 7. OWNER-INSERT + ACCEPTED-REPLAY.  Each frame row routes ONCE
+        #    to its primary (center-block) owner, which runs the gate,
+        #    the global insert-budget prefix, and the actual insert; the
+        #    rows it ACCEPTS are then replayed to the <=7 other
+        #    corner-block owners storing the voxel as halo.  Replaying
+        #    the accepted subset in frame-rank order reproduces the
+        #    owner's per-voxel outcome bit-for-bit: vm.insert's phase-5
+        #    positions rank GATE-PASSERS only, accepted rows pass the
+        #    same gate against the (identical, by induction) halo
+        #    replica table, and block appends land at identical slots.
+        #    vs the round-3 route-to-every-storing-shard design this
+        #    runs the heavy gate/claim probing once per point instead of
+        #    ~1.7x (avg distinct corner owners), and the routed volume
+        #    drops from dup*F to F + dup*accepted.
         frame_world_s = frame_ops.transform_to_world(
             frame_pt_s, state_new.q, state_new.p, self.r_il, self.t_il)
         ins_ok = seg_val & success
         vi = vm.voxel_coords(frame_world_s, icp.size_voxel_map)
-        cv = vi[:, None, :] + jnp.asarray(self.corner_offs)[None, :, :]
-        owners = shard_of(cv, n, self.block_bits)            # (F_seg, 8)
-        eq = owners[:, :, None] == owners[:, None, :]
-        dup = jnp.any(eq & np.tril(np.ones((8, 8), bool), -1)[None],
-                      axis=-1)
-        copy_ok = ins_ok[:, None] & ~dup
+        dest5 = shard_of(vi, n, self.block_bits)
         rows4 = routing.pack_cols(frame_world_s, r_f)
-        rows4_flat = jnp.repeat(rows4, 8, axis=0)
-        buf, bval, d = routing.pack_for_exchange(
-            owners.reshape(-1), copy_ok.reshape(-1), rows4_flat, n, self.B5)
+        buf, bval, d = routing.pack_for_exchange(dest5, ins_ok, rows4, n,
+                                                 self.B5)
         overflow += d
         rcv4, rval4 = routing.exchange(buf, bval, MAP_AXIS)
-        # deterministic per-voxel order: received rows go to a dense
-        # rank-keyed table (each global frame rank reaches a shard at
-        # most once — corner owners are deduped), then a stable compact
-        # reproduces the single-chip batch order without the argsort the
-        # round-3 engine paid here.
+        # deterministic candidate order: received rows go to a dense
+        # rank-keyed table (each global frame rank has ONE primary
+        # owner), then a stable compact reproduces the single-chip
+        # batch order without an argsort.
         F = sh.max_frame_points
         rf_r = routing.unpack_col_i32(rcv4, 3)
         oob4 = F + jnp.arange(rcv4.shape[0], dtype=jnp.int32)
@@ -443,19 +483,16 @@ class ShardedLioEngine:
         if sh.max_insert_points and sh.max_insert_points < F:
             # Exact global insert-budget semantics (single-chip
             # vm.insert(budget=max_insert_points) keeps the first
-            # `budget` gate-passing candidates in frame-rank order): the
-            # gate is evaluated once against the local pre-insert table
-            # (replica content is identical at every storing shard, so
-            # the center-block owner's verdict is THE verdict), flags are
-            # psum'd into a rank-indexed histogram, and the exclusive
-            # prefix reproduces the single-chip candidate ordering.
+            # `budget` gate-passing candidates in frame-rank order):
+            # gate verdicts are psum'd into a rank-indexed histogram and
+            # the exclusive prefix reproduces the single-chip candidate
+            # ordering.  Every candidate is at its primary owner here,
+            # so the owner's verdict is THE verdict.
             gate = vm.insert_gate(
                 local_map, ins_rows[:, 0:3], ins_val, icp.size_voxel_map,
-                odo.min_distance_points, sh.map_max_probe)
-            vi_ins = vm.voxel_coords(ins_rows[:, 0:3], icp.size_voxel_map)
-            primary = shard_of(vi_ins, n, self.block_bits) == me
-            flag_tgt = jnp.where(gate & primary,
-                                 jnp.clip(ins_rf, 0, F - 1), F)
+                odo.min_distance_points, sh.map_max_probe,
+                gate_chunk=sh.query_chunk)
+            flag_tgt = jnp.where(gate, jnp.clip(ins_rf, 0, F - 1), F)
             flags = jnp.zeros((F + 1,), jnp.float32).at[flag_tgt].set(
                 1.0, mode="drop")
             flags = jax.lax.psum(flags, MAP_AXIS)
@@ -465,7 +502,56 @@ class ShardedLioEngine:
                 < np.float32(sh.max_insert_points)))
         local_new, accepted = vm.insert(
             local_map, ins_rows[:, 0:3], ins_val, icp.size_voxel_map,
-            odo.min_distance_points, sh.map_max_probe)
+            odo.min_distance_points, sh.map_max_probe,
+            gate_chunk=sh.query_chunk)
+
+        # 7b. Replay accepted rows to the other storing shards.  The
+        #    corner-owner set of a voxel covers exactly the shards whose
+        #    halo-extended blocks contain it (a block side >= 2*halo+1
+        #    intersecting the [v-h, v+h] cube contains one of its 8
+        #    corners), so routing to corner owners != me reaches every
+        #    halo replica and nothing else.
+        acc = ins_val & accepted
+        vi_a = vm.voxel_coords(ins_rows[:, 0:3], icp.size_voxel_map)
+        cv = vi_a[:, None, :] + jnp.asarray(self.corner_offs)[None, :, :]
+        owners_a = shard_of(cv, n, self.block_bits)          # (W_ins, 8)
+        eq = owners_a[:, :, None] == owners_a[:, None, :]
+        dupm = jnp.any(eq & np.tril(np.ones((8, 8), bool), -1)[None],
+                       axis=-1)
+        rep_ok = acc[:, None] & ~dupm & (owners_a != me)
+        # compact the (sparse: ~0.7 per accepted row) valid copies, then
+        # pack — same O(m) pre-compaction trick as the query legs
+        ok_flat = rep_ok.reshape(-1)
+        flat_i = jnp.arange(self.W_ins * 8, dtype=jnp.int32)
+        crank = jnp.cumsum(ok_flat.astype(jnp.int32)) - 1
+        ok2 = ok_flat & (crank < self.C_rep)
+        dsti = jnp.where(ok2, crank, self.C_rep)
+        sel_row = jnp.zeros((self.C_rep,), jnp.int32).at[dsti].set(
+            flat_i // 8, mode="drop", unique_indices=True)
+        sel_dest = jnp.zeros((self.C_rep,), jnp.int32).at[dsti].set(
+            owners_a.reshape(-1), mode="drop", unique_indices=True)
+        val_c = jnp.zeros((self.C_rep,), bool).at[dsti].set(
+            True, mode="drop", unique_indices=True)
+        overflow += (jnp.sum(ok_flat) - jnp.sum(ok2)).astype(jnp.int32)
+        buf6, bval6, d = routing.pack_for_exchange(
+            sel_dest, val_c, ins_rows[sel_row], n, self.B6)
+        overflow += d
+        rcv6, rval6 = routing.exchange(buf6, bval6, MAP_AXIS)
+        # order replay rows by global rank: a small stable argsort over
+        # the replay receive buffer (a few thousand rows) — NOT the hot
+        # dedup path the sort-free redesign removed.  Sorting floats
+        # valid rows to the front, so slicing to C_rep bounds the apply
+        # batch (vm.insert's gate probing is shape-driven); rows beyond
+        # it are dropped and counted.
+        rf6 = routing.unpack_col_i32(rcv6, 3)
+        order6 = jnp.argsort(jnp.where(rval6, rf6, I32_MAX), stable=True)
+        rep_rows = rcv6[order6][:self.C_rep]
+        rep_val = rval6[order6][:self.C_rep]
+        overflow += (jnp.sum(rval6) - jnp.sum(rep_val)).astype(jnp.int32)
+        local_new, _rep_acc = vm.insert(
+            local_new, rep_rows[:, 0:3], rep_val,
+            icp.size_voxel_map, odo.min_distance_points, sh.map_max_probe,
+            gate_chunk=sh.query_chunk)
 
         # 8. Re-assemble replicated outputs in the exact single-chip
         #    layout: scatter segments by global rank, then ONE psum for
@@ -510,9 +596,21 @@ class ShardedLioEngine:
         cap = icp.max_num_residuals
         Q_tot = self.cfg.shapes.max_keypoints
 
+        chunk = self.cfg.shapes.query_chunk
+        n_q = jnp.sum(qval)         # queries are prefix-compacted
+
         def _assoc(s):
             world = lie.quat_rotate(
                 jnp.broadcast_to(s.q, (loc_q.shape[0], 4)), loc_q) + s.p
+            if chunk and chunk < loc_q.shape[0]:
+                # compute only the occupied prefix of the K4 budget — the
+                # spatial-imbalance slack (shard_query_slack) costs
+                # buffer memory, not per-sweep kNN work
+                return lio_mod.chunked_assoc(
+                    local_map, world, n_q, voxel_size=icp.size_voxel_map,
+                    max_neighbors=icp.max_number_neighbors,
+                    max_probe=max_probe, nb_voxels=nb_voxels,
+                    threshold_capacity=threshold_capacity, chunk=chunk)
             neighbors, nb_ok, _ = vm.knn(
                 local_map, world, voxel_size=icp.size_voxel_map,
                 max_neighbors=icp.max_number_neighbors,

@@ -188,20 +188,16 @@ class LivoPipeline:
         With `to_device`, the padded buffers are uploaded here too —
         transfers enqueue on the device stream and overlap the main
         thread's dispatch work."""
-        with self.timers.stage("prepare_sweep"):
-            prep = meas_mod.prepare_sweep(meas, self.current_time, self.cfg)
-        self.current_time = prep.new_current_time
         up = jnp.asarray if to_device else (lambda x: x)
         if self.cfg.wire_quantization:
-            wire = meas_mod.pack_sweep(prep, meas.duration)
-            # pack the IMU columns + scalars into dense buffers host-side:
-            # 3 transfers per sweep instead of 10 (each transfer costs
+            # one fused host pass (native C++ when available): window +
+            # decimate + int16 quantize + dense (M, 9) IMU pack — 3
+            # transfers per sweep instead of 10 (each transfer costs
             # ~0.15 ms of serial device-stream time on the tunnel)
-            imu_pack = np.concatenate([
-                prep.imu_t[:, None], prep.imu_dt[:, None], prep.imu_acc,
-                prep.imu_gyr,
-                prep.imu_valid[:, None].astype(np.float32)],
-                axis=1).astype(np.float32)
+            with self.timers.stage("prepare_sweep"):
+                imu_pack, wire, new_time, _n = meas_mod.prepare_sweep_wire(
+                    meas, self.current_time, self.cfg)
+            self.current_time = new_time
             meta = np.array([
                 wire.scale, wire.duration,
                 1.0 if frame_index > 1 else 0.0,
@@ -210,6 +206,10 @@ class LivoPipeline:
             sweep = WireSweep(pts_q=up(wire.pts_q), imu=up(imu_pack),
                               meta=up(meta))
         else:
+            with self.timers.stage("prepare_sweep"):
+                prep = meas_mod.prepare_sweep(meas, self.current_time,
+                                              self.cfg)
+            self.current_time = prep.new_current_time
             sweep = SweepInput(
                 raw_pts=up(prep.raw_pts),
                 t_rel=up(prep.t_rel),
@@ -276,19 +276,23 @@ class LivoPipeline:
                 max_probe=self.cfg.shapes.map_max_probe)
 
         if self.vision is not None:
-            # colored-map leg of addPointsToMap (every sweep,
-            # lioOptimization.cpp:538-539)
-            with self.timers.stage("color_insert"):
-                self.vision.insert_sweep_points(
-                    out.frame_pts_world, out.frame_valid,
-                    out.summary.success, meas.time_image)
-                if self.timers.sync:
-                    import jax
-                    jax.block_until_ready(self.vision.color_map.reg)
             if meas.rendering and meas.image is not None:
+                # rendered frame: the colored-map insert leg rides inside
+                # the fused vision program (ONE dispatch for insert +
+                # preprocess + vision step)
                 with self.timers.stage("vision_frame"):
                     self.vision.process_frame(self, meas, out,
                                               host_img=host_img)
+            else:
+                # colored-map leg of addPointsToMap (every sweep,
+                # lioOptimization.cpp:538-539)
+                with self.timers.stage("color_insert"):
+                    self.vision.insert_sweep_points(
+                        out.frame_pts_world, out.frame_valid,
+                        out.summary.success, meas.time_image)
+                    if self.timers.sync:
+                        import jax
+                        jax.block_until_ready(self.vision.color_map.reg)
 
         if self.backend is not None:
             with self.timers.stage("backend"):

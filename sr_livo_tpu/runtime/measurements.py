@@ -224,28 +224,39 @@ def interpolate_imu(meas: Measurement, current_time: float
     return out, current_time
 
 
-def prepare_sweep(meas: Measurement, current_time: float,
-                  cfg: LivoConfig) -> PreparedSweep:
-    sh = cfg.shapes
-    begin = meas.time_sweep_begin
-
+def _prepare_imu_pack(meas: Measurement, current_time: float, sh
+                      ) -> Tuple[np.ndarray, float, int]:
+    """Padded (max_imu_samples, 9) float32 IMU pack
+    [t_rel, dt, acc(3), gyr(3), valid] + (new_current_time, n_imu)."""
     samples, new_time = interpolate_imu(meas, current_time)
     n_imu = len(samples)
     if n_imu > sh.max_imu_samples:
         raise ValueError(
             f"sweep has {n_imu} IMU samples > max_imu_samples="
             f"{sh.max_imu_samples}; raise ShapeOptions.max_imu_samples")
-    imu_t = np.zeros(sh.max_imu_samples, np.float32)
-    imu_dt = np.zeros(sh.max_imu_samples, np.float32)
-    imu_acc = np.zeros((sh.max_imu_samples, 3), np.float32)
-    imu_gyr = np.zeros((sh.max_imu_samples, 3), np.float32)
-    imu_valid = np.zeros(sh.max_imu_samples, bool)
+    begin = meas.time_sweep_begin
+    pack = np.zeros((sh.max_imu_samples, 9), np.float32)
     for i, (dt, t, acc, gyr) in enumerate(samples):
-        imu_t[i] = t - begin
-        imu_dt[i] = dt
-        imu_acc[i] = acc
-        imu_gyr[i] = gyr
-        imu_valid[i] = True
+        row = pack[i]
+        row[0] = t - begin
+        row[1] = dt
+        row[2:5] = acc
+        row[5:8] = gyr
+        row[8] = 1.0
+    return pack, new_time, n_imu
+
+
+def prepare_sweep(meas: Measurement, current_time: float,
+                  cfg: LivoConfig) -> PreparedSweep:
+    sh = cfg.shapes
+    begin = meas.time_sweep_begin
+
+    pack, new_time, n_imu = _prepare_imu_pack(meas, current_time, sh)
+    imu_t = pack[:, 0].copy()
+    imu_dt = pack[:, 1].copy()
+    imu_acc = pack[:, 2:5].copy()
+    imu_gyr = pack[:, 5:8].copy()
+    imu_valid = pack[:, 8] > 0.5
 
     pts = meas.points
     # Keep points inside [begin, end] (makePointTimestamp drop semantics).
@@ -307,3 +318,31 @@ def pack_sweep(prep: PreparedSweep, duration: float) -> PackedSweepWire:
     pts_q[:n, 3] = np.clip(
         np.round(prep.t_rel[:n] / duration * WIRE_QMAX), 0, WIRE_QMAX)
     return PackedSweepWire(pts_q=pts_q, scale=scale, duration=duration)
+
+
+def prepare_sweep_wire(meas: Measurement, current_time: float,
+                       cfg: LivoConfig
+                       ) -> Tuple[np.ndarray, PackedSweepWire, float, int]:
+    """Wire-mode host prep in one pass: (imu_pack (M, 9) f32, wire,
+    new_current_time, n_points).
+
+    The point side (window + stride decimation + robust scale + int16
+    quantization) runs in GIL-released native C++ when available
+    (native.prepare_pack), skipping the padded float32 intermediate
+    `prepare_sweep` builds — the hot host cost of the per-frame path.
+    Falls back to prepare_sweep + pack_sweep (same semantics, numpy)."""
+    sh = cfg.shapes
+    imu_pack, new_time, _n_imu = _prepare_imu_pack(meas, current_time, sh)
+    duration = max(float(meas.duration), 1e-6)
+    from sr_livo_tpu.runtime import native
+    res = native.prepare_pack(meas.points, meas.time_sweep_begin,
+                              meas.time_image, duration,
+                              sh.max_sweep_points)
+    if res is None:
+        prep = prepare_sweep(meas, current_time, cfg)
+        wire = pack_sweep(prep, meas.duration)
+        return imu_pack, wire, new_time, prep.n_points
+    pts_q, scale, k = res
+    return (imu_pack,
+            PackedSweepWire(pts_q=pts_q, scale=scale, duration=duration),
+            new_time, k)

@@ -70,6 +70,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.livo_remap_u8.argtypes = [
             c.POINTER(c.c_uint8), c.c_long, c.c_long, c.c_long,
             c.POINTER(c.c_float), c.c_long, c.c_long, c.POINTER(c.c_uint8)]
+        lib.livo_prepare_pack.restype = c.c_int
+        lib.livo_prepare_pack.argtypes = [
+            c.POINTER(c.c_double), c.c_long, c.c_double, c.c_double,
+            c.c_double, c.c_long, c.POINTER(c.c_int16),
+            c.POINTER(c.c_double)]
         lib.livo_bag_open.restype = c.c_void_p
         lib.livo_bag_open.argtypes = [c.c_char_p]
         lib.livo_bag_next.restype = c.c_int
@@ -134,6 +139,28 @@ def remap_u8(src: np.ndarray, map_uv: np.ndarray) -> np.ndarray:
     else:
         out = out.astype(src.dtype)
     return out if ch > 1 else out[..., 0]
+
+def prepare_pack(pts: np.ndarray, begin: float, t_end: float,
+                 duration: float, max_points: int):
+    """Fused sweep window + decimation + int16 wire pack (the numpy
+    prepare_sweep + pack_sweep point path in one GIL-released C++ pass).
+    Returns (pts_q (max_points, 4) int16, scale, n_points) or None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float64)
+    out_q = np.empty((max_points, 4), np.int16)
+    scale = ctypes.c_double(0.0)
+    k = lib.livo_prepare_pack(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        pts.shape[0], begin, t_end, duration, max_points,
+        out_q.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.byref(scale))
+    if k < 0:
+        return None
+    return out_q, scale.value, k
+
 
 def decode_xyzt(data: bytes, n: int, step: int, off_x: int, off_y: int,
                 off_z: int, off_t: int, t_dtype: int,

@@ -224,3 +224,51 @@ def test_retry_wider_neighborhood_recovers_sparse_map():
     assert not ok_plain, (ok_plain, n_plain)
     assert ok_retry, (ok_retry, n_retry)
     assert n_retry >= 12
+
+
+def test_chunked_assoc_matches_full_batch():
+    """models.lio.chunked_assoc over the valid prefix must match the
+    full-batch kNN + PCA association row-for-row on the valid rows, for
+    chunk sizes that do and do not divide the buffer."""
+    import jax
+    from sr_livo_tpu.models.lio import chunked_assoc
+    from sr_livo_tpu.ops import neighborhood as nb_ops
+    rng = np.random.RandomState(11)
+    m = vm.make_map(1 << 12, 12)
+    pts_np = rng.uniform(-15, 15, (2000, 3)).astype(np.float32)
+    pts = jnp.asarray(pts_np)
+    m, _ = vm.insert(m, pts, jnp.ones(2000, bool), 0.8, 0.05, 8)
+    q, nv = 384, 251
+    world = np.zeros((q, 3), np.float32)
+    # queries near stored points so most rows find a full neighborhood
+    world[:nv] = (pts_np[rng.randint(0, 2000, nv)]
+                  + rng.uniform(-0.3, 0.3, (nv, 3)).astype(np.float32))
+    world_j = jnp.asarray(world)
+    kw = dict(voxel_size=0.8, max_neighbors=8, max_probe=8, nb_voxels=1,
+              threshold_capacity=jnp.int32(1))
+    neighbors, nb_ok, _ = vm.knn(m, world_j, **kw)
+    n_found = jnp.sum(nb_ok, axis=1).astype(jnp.int32)
+    normal0, a2d, _ = nb_ops.neighborhood_distribution(neighbors, n_found)
+    closest = neighbors[:, 0, :]
+    for chunk in (64, 100):
+        cn, ca, cc, cf = chunked_assoc(m, world_j, jnp.int32(nv),
+                                       chunk=chunk, **kw)
+        assert np.array_equal(np.asarray(n_found[:nv]), np.asarray(cf[:nv]))
+        # rows with < 3 neighbors have a degenerate PCA eigenspace (the
+        # normal is arbitrary within a subspace, numerically batch-shape
+        # dependent) and are gated downstream by min_number_neighbors;
+        # compare only well-posed rows
+        well = np.asarray(n_found[:nv]) >= 3
+        assert well.sum() > 50            # the fixture must exercise them
+        # XLA vectorizes the two batch shapes differently, so f32
+        # rounding can rotate the eigenvector on NEAR-degenerate
+        # neighborhoods; require agreement on the overwhelming majority
+        # and directional closeness (sign-invariant) where it holds
+        dots = np.abs(np.sum(np.asarray(normal0[:nv])[well]
+                             * np.asarray(cn[:nv])[well], axis=1))
+        assert np.mean(dots > 0.999) >= 0.95, np.sort(dots)[:5]
+        da = np.abs(np.asarray(a2d[:nv])[well] - np.asarray(ca[:nv])[well])
+        assert np.mean(da < 1e-3) >= 0.95
+        assert np.allclose(np.asarray(closest[:nv]), np.asarray(cc[:nv]))
+        # skipped tail is inert: zero n_found
+        assert not np.asarray(cf[nv + chunk:]).any()

@@ -151,3 +151,29 @@ def test_path_live_written_with_stride_one(tmp_path):
     pub.close()
     lines = open(os.path.join(out, "path_live.txt")).read().splitlines()
     assert len(lines) == 2
+
+
+def test_live_viewer_renders_png(tmp_path):
+    """scripts/live_viewer.py (the rviz substitute) renders a PNG from a
+    streaming directory — synthesized chunks + trajectory, no GUI."""
+    import subprocess
+    import sys as _sys
+    from sr_livo_tpu.runtime.pcd import save_color_rows
+    out = str(tmp_path / "stream")
+    os.makedirs(os.path.join(out, "color_chunks"))
+    rng = np.random.RandomState(0)
+    pos = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+    rgb = rng.randint(0, 255, (500, 3))
+    save_color_rows(pos, rgb, np.ones(500, bool),
+                    os.path.join(out, "color_chunks", "chunk_00000.pcd"))
+    with open(os.path.join(out, "odometry_live.txt"), "w") as f:
+        for i in range(20):
+            f.write(f"{i * 0.1:.3f} {i * 0.05:.3f} 0 0 1 0 0 0 0.5 0 0\n")
+    png = str(tmp_path / "view.png")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(root, "scripts", "live_viewer.py"),
+         out, "--once", "--out", png],
+        capture_output=True, timeout=120)
+    assert r.returncode == 0, r.stderr.decode()
+    assert os.path.getsize(png) > 10_000

@@ -249,3 +249,30 @@ def test_compact_map_survives_capacity_pressure():
     assert tail_e > 2.0 * tail_n, (tail_e, tail_n)
     # live map stays bounded to the local neighborhood
     assert int(vm.map_size(m_e)) < cap * K // 2
+
+
+def test_chunked_gate_matches_full_batch():
+    """vm.insert(gate_chunk=...) must be bit-identical to the full-batch
+    gate for a prefix-compacted batch (the gate is per-row vs the
+    pre-insert table, so chunking is exact by construction)."""
+    rng = np.random.RandomState(5)
+    m = vm.make_map(1 << 12, 8)
+    warm = jnp.asarray(rng.uniform(-20, 20, (600, 3)).astype(np.float32))
+    m, _ = vm.insert(m, warm, jnp.ones(600, bool), 1.0, 0.1, 8)
+    n, nv = 512, 317          # padded batch, valid prefix
+    pts = np.zeros((n, 3), np.float32)
+    pts[:nv] = rng.uniform(-20, 20, (nv, 3))
+    valid = np.arange(n) < nv
+    pts_j, val_j = jnp.asarray(pts), jnp.asarray(valid)
+    m_full, acc_full = vm.insert(m, pts_j, val_j, 1.0, 0.1, 8)
+    for chunk in (64, 100, 512):
+        m_c, acc_c = vm.insert(m, pts_j, val_j, 1.0, 0.1, 8,
+                               gate_chunk=chunk)
+        assert np.array_equal(np.asarray(acc_full), np.asarray(acc_c)), chunk
+        assert np.array_equal(np.asarray(m_full.counts),
+                              np.asarray(m_c.counts)), chunk
+        assert np.array_equal(np.asarray(m_full.points),
+                              np.asarray(m_c.points)), chunk
+    g_full = vm.insert_gate(m, pts_j, val_j, 1.0, 0.1, 8)
+    g_c = vm.insert_gate(m, pts_j, val_j, 1.0, 0.1, 8, gate_chunk=100)
+    assert np.array_equal(np.asarray(g_full), np.asarray(g_c))
