@@ -345,6 +345,8 @@ def main():
                          "seed index) and exit — lets callers render the "
                          "bags in parallel processes before the main run")
     args = ap.parse_args()
+    from sr_livo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()   # profiles share engine shapes across runs
     if not args.prebuild:
         _force_cpu()      # prebuild renders on the default (TPU) backend
 

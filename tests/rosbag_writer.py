@@ -65,24 +65,26 @@ class BagWriter:
         cid = self.add_connection(topic, msg_type)
         self.messages.append((cid, t, payload))
 
+    # Real rosbags chunk at ~768 KB-4 MB; a single giant chunk would also
+    # trip the reader's fuzz-hardening record-size cap on long sequences
+    # (native MAX_RECORD_LEN) — and hour-scale bags would not fit in RAM
+    # as one bytes object anyway.
+    CHUNK_TARGET = 8 << 20
+
     def close(self):
-        chunk = b""
-        for (_cid, _t, rec) in [(c[0], 0, c[2])
-                                for c in self.connections.values()]:
-            chunk += rec
+        chunks = []
+        chunk = b"".join(c[2] for c in self.connections.values())
         for (cid, t, payload) in self.messages:
             sec = int(t)
             nsec = int(round((t - sec) * 1e9))
             time64 = struct.pack("<Q", (nsec << 32) | sec)
             chunk += _record({"op": _op(0x02), "conn": cid, "time": time64},
                              payload)
-
-        if self.compression == "bz2":
-            comp_data = bz2.compress(chunk)
-        elif self.compression == "none":
-            comp_data = chunk
-        else:
-            raise ValueError(self.compression)
+            if len(chunk) >= self.CHUNK_TARGET:
+                chunks.append(chunk)
+                chunk = b""
+        if chunk:
+            chunks.append(chunk)
 
         with open(self.path, "wb") as f:
             f.write(b"#ROSBAG V2.0\n")
@@ -90,11 +92,19 @@ class BagWriter:
             bh = _record({"op": _op(0x03),
                           "index_pos": struct.pack("<Q", 0),
                           "conn_count": len(self.connections),
-                          "chunk_count": 1},
+                          "chunk_count": len(chunks)},
                          b" " * 4096)
             f.write(bh)
-            f.write(_record({"op": _op(0x05), "compression": self.compression,
-                             "size": len(chunk)}, comp_data))
+            for chunk in chunks:
+                if self.compression == "bz2":
+                    comp_data = bz2.compress(chunk)
+                elif self.compression == "none":
+                    comp_data = chunk
+                else:
+                    raise ValueError(self.compression)
+                f.write(_record(
+                    {"op": _op(0x05), "compression": self.compression,
+                     "size": len(chunk)}, comp_data))
 
 
 # ---- message serializers (inverse of runtime.drivers parsers) ----------
