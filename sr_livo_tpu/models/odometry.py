@@ -165,8 +165,14 @@ def _sweep_core(state: EskfState,
     raw_deskew = frame_ops.to_end_frame(imu_pts, imu_states, r_il, t_il)
 
     # 3. Voxel-grid subsample to the frame budget (buildFrame:843-848).
+    #    The shuffle-equivalent priority permutation randomizes the
+    #    frame row order (and thereby the residual-cap subset) exactly
+    #    like the reference's std::shuffle before subSampleFrame —
+    #    scan-ordered rows make the cap keep an azimuth wedge (~3x ATE
+    #    under aggressive motion; see frame_ops.voxel_subsample).
     frame_raw, frame_valid, _ = frame_ops.voxel_subsample(
-        raw_deskew, sweep.pt_valid, sub_voxel, sh.max_frame_points)
+        raw_deskew, sweep.pt_valid, sub_voxel, sh.max_frame_points,
+        priority=frame_ops.subsample_perm(sweep.raw_pts.shape[0]))
 
     # 4. Grid-sample ICP keypoints (optimize, optimize.cpp:428-431).
     key_raw, key_valid, _ = frame_ops.voxel_subsample(

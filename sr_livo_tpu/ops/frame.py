@@ -7,6 +7,7 @@ is a fixed-shape masked array program over padded sweep tensors.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -166,32 +167,63 @@ def bucket_dedup_min(h: jnp.ndarray, pri: jnp.ndarray, valid: jnp.ndarray,
     return winner
 
 
+@functools.lru_cache(maxsize=8)
+def subsample_perm(n: int) -> np.ndarray:
+    """Deterministic pseudorandom priority permutation for
+    voxel_subsample — the array-program equivalent of the reference's
+    std::shuffle of the frame before subSampleFrame (buildFrame,
+    lioOptimization.cpp:843).  HOST int32 constant: close it over the
+    jitted program (never a device array, see LioEngine.__init__)."""
+    return np.random.RandomState(0x5EED).permutation(n).astype(np.int32)
+
+
 def voxel_subsample(key_pts: jnp.ndarray, valid: jnp.ndarray,
                     voxel_size: float, max_out: int,
                     payload: Tuple[jnp.ndarray, ...] = (),
+                    priority: np.ndarray = None,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
-    """Keep one point per voxel, compacted to `max_out` slots in STREAM
-    ORDER (ascending input index).
+    """Keep one point per voxel, compacted to `max_out` slots in
+    PRIORITY ORDER (ascending `priority`; input index when None).
 
-    Mirrors subSampleFrame/gridSampling (utility.cpp:167-201): one
-    representative per occupied voxel (here: the lowest-index point; the
-    reference picks an effectively random one after shuffling).  Uses a
-    32-bit spatial hash as the voxel identity — hash collisions merge two
-    distinct voxels with probability ~N^2/2^33 per sweep (≈1e-4 for 30k
-    points), losing at most one representative point; immaterial.
+    Mirrors shuffle + subSampleFrame/gridSampling (utility.cpp:167-201,
+    buildFrame:843): one representative per occupied voxel.  The
+    reference SHUFFLES the frame first, so its representative is random
+    and — critically — the downstream max_num_residuals cap
+    (optimize.cpp:107) takes a spatially RANDOM subset of keypoints.
+    Passing `priority` = subsample_perm(n) reproduces that: without it,
+    scan-order output makes the residual cap keep a contiguous azimuth
+    WEDGE of the sweep, which costs ~3x ATE under aggressive motion
+    (round-4 regression, found vs the round-3 hash-ordered output).
+
+    Uses a 32-bit spatial hash as the voxel identity — hash collisions
+    merge two distinct voxels with probability ~N^2/2^33 per sweep
+    (~1e-4 for 30k points); immaterial.
 
     Sort-free: winner election via bucket_dedup_min claim rounds + a
-    stable cumsum compaction (the round-3 formulation paid two argsorts
-    per call — the slowest op class on TPU and the dominant subsample
-    cost on CPU).  Stream order is also what the sharded engine can
-    reproduce globally without sorting (parallel.sharded_lio).
+    histogram-rank compaction (the round-3 formulation paid two argsorts
+    per call — the slowest op class on TPU); the sharded engine
+    reproduces the same priorities globally (parallel.sharded_lio).
 
     Returns (points (max_out, 3), valid (max_out,), gathered payload).
     """
     n = key_pts.shape[0]
     h = jnp.where(valid, _voxel_key(key_pts, voxel_size), _KEY_INVALID)
+    # representative = lowest-INPUT-index point of the voxel (stable,
+    # de-skew-time-coherent); `priority` randomizes only the OUTPUT
+    # ORDER (and thereby which winners survive max_out / the residual
+    # cap), like the reference's shuffle randomizes its vector order
     winner = bucket_dedup_min(h, jnp.arange(n, dtype=jnp.int32), valid)
-    rank = jnp.cumsum(winner.astype(jnp.int32)) - 1
+    if priority is None:
+        rank = jnp.cumsum(winner.astype(jnp.int32)) - 1
+    else:
+        pri = jnp.asarray(priority)
+        # rank in priority order via ONE histogram + cumsum (sort-free)
+        oob = n + jnp.arange(n, dtype=jnp.int32)
+        flags = jnp.zeros((n,), jnp.int32).at[
+            jnp.where(winner, pri, oob)].set(1, mode="drop",
+                                             unique_indices=True)
+        prefix = jnp.cumsum(flags) - flags
+        rank = prefix[pri]
     ok = winner & (rank < max_out)
     dst = jnp.where(ok, rank, max_out)          # shared OOB slot -> dropped
     src = jnp.zeros((max_out,), jnp.int32).at[dst].set(

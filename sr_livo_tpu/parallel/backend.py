@@ -43,8 +43,21 @@ class BackendConfig:
     loop_radius: float = 2.0
     loop_min_gap: int = 20
     loop_fitness_threshold: float = 0.6
+    # min translation observability of a verified closure (ClosureResult
+    # .t_observability): rejects plane-sliding alignments that score
+    # high fitness at a wrong translation
+    loop_min_observability: float = 0.15
     loop_check_every_n: int = 5
-    loop_max_pairs: int = 8              # candidates verified per check
+    # Loop candidates verified per check.  With feedback_to_filter, keep
+    # this low: every verified closure triggers a feedback event, and
+    # each event rigidly re-anchors the world frame mid-run while the
+    # frontend voxel map stays where drifted inserts put it (the
+    # documented apply_pose_correction limitation) — measured on the
+    # 60 s revisit gate: 2 pairs -> 7 cm, 4 -> 11 cm, 8 -> 56+ cm ATE,
+    # with individually GOOD closures (cm-consistent edges).  Raising
+    # this is safe for offline optimized_trajectory() use; pairing it
+    # with live feedback needs map re-anchoring first (round-5 item).
+    loop_max_pairs: int = 2
     max_keyframe_points: int = 1024
     odometry_rot_w: float = 50.0
     odometry_t_w: float = 50.0
@@ -234,7 +247,9 @@ class MappingBackend:
                 jnp.asarray(fj.points), jnp.asarray(fj.valid),
                 jnp.asarray(fi.q), jnp.asarray(fi.t),
                 jnp.asarray(fj.q), jnp.asarray(fj.t))
-            if float(res.fitness) >= self.cfg.loop_fitness_threshold:
+            if (float(res.fitness) >= self.cfg.loop_fitness_threshold
+                    and float(res.t_observability)
+                    >= self.cfg.loop_min_observability):
                 self.edges.append(dict(
                     i=i, j=j, q=np.asarray(res.q_meas),
                     t=np.asarray(res.t_meas),

@@ -57,6 +57,13 @@ class ClosureResult(NamedTuple):
     t_meas: jnp.ndarray    # (3,) R_i^T (t_j - t_i)
     fitness: jnp.ndarray   # () inlier fraction of the aligned scan
     mean_residual: jnp.ndarray  # () mean |point-to-plane| of inliers
+    # () translation observability: min/mean eigenvalue ratio of the
+    # inlier-weighted sum of normal outer products.  Plane-to-plane ICP
+    # slides freely along directions no plane constrains; such sliding
+    # alignments score HIGH fitness at a WRONG translation (round-4: a
+    # widened candidate search fed sliding edges into the pose graph,
+    # 7 cm -> 2.6 m on the revisit gate).  Near-zero ratio = degenerate.
+    t_observability: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -118,7 +125,13 @@ def verify_closure(points_i: jnp.ndarray, valid_i: jnp.ndarray,
     fitness = jnp.sum(inlier) / n_usable
     mean_res = jnp.sum(jnp.where(inlier, dist, 0.0)) / jnp.maximum(
         jnp.sum(inlier), 1)
+    # translation observability of the alignment: eigenvalues of the
+    # inlier normal covariance (see ClosureResult.t_observability)
+    nw = jnp.where(inlier[:, None], normal, 0.0)
+    h_t = nw.T @ nw
+    eigs = jnp.linalg.eigvalsh(h_t)
+    t_obs = eigs[0] / jnp.maximum(jnp.mean(eigs), 1e-9)
 
     q_meas, t_meas = pg.edge_from_poses(q_i, t_i, q_f, t_f)
     return ClosureResult(q_meas=q_meas, t_meas=t_meas, fitness=fitness,
-                         mean_residual=mean_res)
+                         mean_residual=mean_res, t_observability=t_obs)

@@ -299,6 +299,12 @@ class ShardedLioEngine:
         raw_s, trel_s, pval_s = (sl(sweep.raw_pts), sl(sweep.t_rel),
                                  sl(sweep.pt_valid))
         gidx_s = me * np.int32(Ns) + jnp.arange(Ns, dtype=jnp.int32)
+        # shuffle-equivalent ORDER permutation: winners stay the lowest
+        # stream-index point per voxel, but output RANKS follow
+        # subsample_perm so the residual cap keeps a spatially random
+        # subset — bit-matching frame_ops.voxel_subsample(priority=perm)
+        # on the single chip (host int32 constant)
+        perm = frame_ops.subsample_perm(sh.max_sweep_points)
         if odo.motion_compensation == MOTION_COMP_IMU:
             imu_pts = frame_ops.undistort_imu(
                 raw_s, trel_s, imu_states, self.r_il, self.t_il)
@@ -342,13 +348,15 @@ class ShardedLioEngine:
         #    including the 8-corner insert leg, shrinks with it).
         N_tot = sh.max_sweep_points
         R = rcv.shape[0]
+        perm_j = jnp.asarray(perm)
+        pg_r = perm_j[jnp.clip(gidx_r, 0, N_tot - 1)]
         oob_f = N_tot + jnp.arange(R, dtype=jnp.int32)
         flags_f = jnp.zeros((N_tot,), jnp.float32).at[
-            jnp.where(win2, jnp.clip(gidx_r, 0, N_tot - 1), oob_f)
+            jnp.where(win2, pg_r, oob_f)
         ].set(1.0, mode="drop", unique_indices=True)
         flags_f = jax.lax.psum(flags_f, MAP_AXIS)
         pref_f = jnp.cumsum(flags_f) - flags_f
-        r_f_rcv = pref_f[jnp.clip(gidx_r, 0, N_tot - 1)].astype(jnp.int32)
+        r_f_rcv = pref_f[pg_r].astype(jnp.int32)
         keep2 = win2 & (r_f_rcv < sh.max_frame_points)    # global max_out
         seg_rows, seg_val, d = routing.compact(rcv, keep2, self.F_seg)
         overflow += d
@@ -356,7 +364,8 @@ class ShardedLioEngine:
         gidx_seg = routing.unpack_col_i32(seg_rows, 4)
         r_f = jnp.where(
             seg_val,
-            pref_f[jnp.clip(gidx_seg, 0, N_tot - 1)].astype(jnp.int32),
+            pref_f[perm_j[jnp.clip(gidx_seg, 0, N_tot - 1)]]
+            .astype(jnp.int32),
             I32_MAX)
 
         # 4. Keypoint grid sample — same machinery at the sample voxel.

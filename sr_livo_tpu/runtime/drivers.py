@@ -233,7 +233,9 @@ def replay_bag(pipeline, bag_path: str, cfg: LivoConfig,
             if pts.shape[0]:
                 pipeline.push_points(pts)
         elif topic == image_topic:
-            if image_type == IMAGE_TYPE_COMPRESSED:
+            # case-insensitive: reference YAMLs write "compressed",
+            # launch files "Compressed"
+            if str(image_type).upper() == IMAGE_TYPE_COMPRESSED:
                 stamp, img = parse_compressed_image(payload)
             else:
                 stamp, img = parse_image(payload)
