@@ -152,6 +152,14 @@ class CameraOptions:
     image_scale: float = 0.5
     max_tracked_points: int = 300
     track_windows_size: int = 40
+    # RANSAC gate thresholds (px).  Reference values are 1.0 / 1.5
+    # (opticalFlowTracker.cpp:144, :295) tuned for real camera tracks;
+    # LiDAR-built map points carry cm-level position noise that already
+    # reprojects to >1 px at close range, so the defaults here leave the
+    # gates slightly wider — tightening to reference values is a config
+    # change, not a code change.
+    fm_ransac_px: float = 2.0
+    pnp_ransac_px: float = 2.5
 
 
 @dataclass

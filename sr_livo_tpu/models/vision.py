@@ -101,6 +101,7 @@ class VisionModule:
         # device until first read (per-frame int() readbacks would stall
         # the async dispatch pipeline on the device-tunnel RTT)
         self._stats: list = []
+        self._stats_full: list = []      # (t, *per-stage counts) rows
         self._stats_pending: list = []
 
     # -- called by the pipeline on EVERY sweep (addPointsToMap color leg) --
@@ -297,7 +298,9 @@ class VisionModule:
             lk_params=self.lk_params, cols=self.cols, rows=self.rows,
             track_grid=self.track_grid,
             max_render_points=self.cfg.shapes.max_render_points,
-            estimate_intrinsic=True, estimate_extrinsic=True)
+            estimate_intrinsic=True, estimate_extrinsic=True,
+            fm_px=self.cfg.camera_options.fm_ransac_px,
+            pnp_px=self.cfg.camera_options.pnp_ransac_px)
         return camera, color_map, tracks, stats_vec, key, cur_pyr
 
     @property
@@ -308,12 +311,16 @@ class VisionModule:
             self._stats.extend(
                 (t, int(a[0]), int(a[1]))
                 for (t, _), a in zip(self._stats_pending, arr))
+            self._stats_full.extend(
+                (t,) + tuple(int(v) for v in a)
+                for (t, _), a in zip(self._stats_pending, arr))
             self._stats_pending = []
         return self._stats
 
     @stats.setter
     def stats(self, value):
         self._stats = list(value)
+        self._stats_full = []
         self._stats_pending = []
 
     def _init_tracks(self, q_wi, t_wi, obs_time):
@@ -355,7 +362,8 @@ _gated_color_insert = functools.partial(
 def _vision_step_core(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
                  q_wi, t_wi, scal, n_new_visited, key, *,
                  lk_params, cols, rows, track_grid,
-                 max_render_points, estimate_intrinsic, estimate_extrinsic):
+                 max_render_points, estimate_intrinsic, estimate_extrinsic,
+                 fm_px=2.0, pnp_px=2.5):
     """One fused device program for the whole vision frame.
 
     `scal` packs the host scalars [dt, obs_time] into ONE transfer, and
@@ -375,26 +383,43 @@ def _vision_step_core(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
     ids_c = jnp.clip(tracks.reg_id, 0, registry - 1)
     # one packed-row gather serves the whole step (pos/rgb/cov/n/vel/out)
     reg_rows = color_map.reg[ids_c]                         # (M, 16)
-    # constant-velocity LK seed from the stored per-track image velocity
-    # (OPTFLOW_USE_INITIAL_FLOW): absorbs the large inter-frame flow of
-    # fast yaw that a zero seed loses at 10 Hz image rates.  Implausibly
-    # large seeds (stale velocity on re-appearing tracks) are zeroed.
-    seed = reg_rows[:, cm.C_VEL] * dt
-    seed_ok = (jnp.abs(seed[:, 0]) < cols / 8.0) \
-        & (jnp.abs(seed[:, 1]) < rows / 8.0)
-    seed = jnp.where(seed_ok[:, None], seed, 0.0)
+    # GEOMETRIC LK seed: every track is a map point with a known world
+    # position, and the sweep-reconstruction design means the LIO state
+    # at the image instant is already solved when vision runs (the
+    # reference's core idea, README.md:36-38).  Projecting the point
+    # with that pose predicts its pixel in THIS image almost exactly —
+    # under fast yaw (the r3live cone-panning profile, ~1.1 rad/s) the
+    # inter-frame flow is ~50 px, beyond what a 4-level pyramid absorbs
+    # from a zero or constant-velocity seed, while the projection seed
+    # leaves LK only the small LIO/map residual to solve.  Falls back to
+    # the stored per-track image velocity (OPTFLOW_USE_INITIAL_FLOW)
+    # when the projection is invalid, then to a zero seed.
+    _, t_wc0, q_cw0, t_cw0 = cam_mod.world_camera_pose(camera, q_wi, t_wi)
+    pts_world = reg_rows[:, cm.C_POS]
+    proj0, z_ok0, _ = cm.project_points(pts_world, q_cw0, t_cw0, camera.intr)
+    seed_geo = proj0 - tracks.px
+    geo_ok = z_ok0 & cm.in_fov(proj0, cols, rows, 0.02)
+    seed_vel = reg_rows[:, cm.C_VEL] * dt
+    vel_ok = (jnp.abs(seed_vel[:, 0]) < cols / 8.0) \
+        & (jnp.abs(seed_vel[:, 1]) < rows / 8.0)
+    seed = jnp.where(geo_ok[:, None], seed_geo,
+                     jnp.where(vel_ok[:, None], seed_vel, 0.0))
     cur_px, status = lk.track_pyramidal(
         prev_imgs, cur_imgs, prev_dx, prev_dy, tracks.px, tracks.active,
         lk_params, init_flow=seed)
     status = status & tracks.active & track_ok_gate
+    lk_ok = status
 
     # ---- 2. fundamental RANSAC gate (:144) ----
-    f_inl = ransac.fundamental_ransac(tracks.px, cur_px, status, key_f)
+    f_inl = ransac.fundamental_ransac(tracks.px, cur_px, status, key_f,
+                                      threshold=fm_px)
     status = status & f_inl
+    fr_ok = status
 
     # ---- 3. FoV gate + image velocity (:155-171) ----
     uv_ok = cm.in_fov(cur_px, cols, rows, 0.05)
     status = status & uv_ok
+    fov_ok = status
     vel = (cur_px - tracks.px) / jnp.maximum(dt, 1e-5)
     vel = jnp.where(dt < 1e-5, jnp.full_like(vel, 1e-3), vel)
     reg_rows = reg_rows.at[:, cm.C_VEL].set(
@@ -405,10 +430,9 @@ def _vision_step_core(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
             reg_rows, mode="drop", unique_indices=True))
 
     # ---- 4. PnP RANSAC outlier gate (removeOutlierUsingRansacPnp) ----
-    pts_world = reg_rows[:, cm.C_POS]
-    _, _, q_cw0, t_cw0 = cam_mod.world_camera_pose(camera, q_wi, t_wi)
     pnp_inl, _q, _t = ransac.pnp_ransac(
-        pts_world, cur_px, status, q_cw0, t_cw0, camera.intr, key_pnp)
+        pts_world, cur_px, status, q_cw0, t_cw0, camera.intr, key_pnp,
+        threshold=pnp_px)
     status = status & pnp_inl
     enough = jnp.sum(status) >= cam_mod.MIN_ITERATION_POINTS
 
@@ -492,14 +516,20 @@ def _vision_step_core(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
         px=jnp.where(keep[:, None], cur_px, new_px),
         active=keep | use_cand)
 
-    # (n_tracked, n_inlier) packed in-program: one device vector for the
-    # host stats list instead of two scalars + an eager stack
+    # per-frame stats packed in-program: one device vector for the host
+    # stats list instead of eager scalars.  [0]=LK+gates survivors,
+    # [1]=kept tracks; [2:] per-stage survivor counts for observability
+    # (active-in, post-LK, post-F-RANSAC, post-FoV, post-PnP, appended).
     return (camera, color_map, tracks_new,
-            jnp.stack([jnp.sum(status), jnp.sum(keep)]), key_next)
+            jnp.stack([jnp.sum(status), jnp.sum(keep),
+                       n_active, jnp.sum(lk_ok), jnp.sum(fr_ok),
+                       jnp.sum(fov_ok), jnp.sum(status),
+                       jnp.sum(use_cand)]), key_next)
 
 
 _vision_step = functools.partial(
     jax.jit, donate_argnums=(1, 2), static_argnames=(
         "lk_params", "cols", "rows", "track_grid",
-        "max_render_points", "estimate_intrinsic", "estimate_extrinsic")
+        "max_render_points", "estimate_intrinsic", "estimate_extrinsic",
+        "fm_px", "pnp_px")
 )(_vision_step_core)
