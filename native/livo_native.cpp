@@ -235,10 +235,21 @@ int livo_prepare_pack(const double* pts, long n, double begin, double t_end,
     }
     long m = (long)win.size();
     if (m > max_points) {
-        // deterministic stride decimation (np.linspace(0, m-1, max) -> int)
-        double step = (double)(m - 1) / (double)(max_points - 1);
-        for (long i = 0; i < max_points; i++)
-            sel.push_back(win[(long)((double)i * step)]);
+        // deterministic stride decimation (np.linspace(0, m-1, max) -> int).
+        // The endpoint is pinned to m-1 and every index clamped: float
+        // rounding in i*step is not guaranteed to hit the linspace
+        // endpoint exactly, and max_points==1 would divide by zero.
+        if (max_points == 1) {
+            sel.push_back(win[0]);
+        } else {
+            double step = (double)(m - 1) / (double)(max_points - 1);
+            for (long i = 0; i < max_points; i++) {
+                long j = (i == max_points - 1) ? (m - 1)
+                                               : (long)((double)i * step);
+                if (j > m - 1) j = m - 1;
+                sel.push_back(win[j]);
+            }
+        }
     } else {
         sel.swap(win);
     }

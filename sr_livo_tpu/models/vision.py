@@ -527,9 +527,3 @@ def _vision_step_core(camera, color_map, tracks, prev_pyr, cur_pyr, rgb_img,
                        jnp.sum(use_cand)]), key_next)
 
 
-_vision_step = functools.partial(
-    jax.jit, donate_argnums=(1, 2), static_argnames=(
-        "lk_params", "cols", "rows", "track_grid",
-        "max_render_points", "estimate_intrinsic", "estimate_extrinsic",
-        "fm_px", "pnp_px")
-)(_vision_step_core)

@@ -218,16 +218,22 @@ def _insert_gate_phase(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
 def _insert_gate_phase_chunked(vmap: VoxelMap, pts, valid, coords,
                                min_distance: float, max_probe: int,
                                chunk: int):
-    """_insert_gate_phase over only the VALID PREFIX of the batch, in
-    `chunk`-row slices with a dynamic trip count.  The gate is per-row
-    (probe + block-distance vs the PRE-insert table only), so chunking
-    is exact; the skipped tail gets (False, -1, 0) — identical to what
-    the full-batch phase returns for invalid rows.  Static insert
-    budgets can then carry imbalance slack without paying probe work
-    for the padding (same trick as models.lio.chunked_assoc)."""
+    """_insert_gate_phase over only rows up to the LAST VALID row of the
+    batch, in `chunk`-row slices with a dynamic trip count.  The gate is
+    per-row (probe + block-distance vs the PRE-insert table only), so
+    chunking is exact for ANY validity pattern: the trip count covers
+    through the last valid row (not the valid popcount, which would
+    under-run a batch whose validity has holes mid-prefix — e.g. the
+    sharded engine's budget-masked insert batch); the skipped tail gets
+    (False, -1, 0) — identical to what the full-batch phase returns for
+    invalid rows.  Prefix-compacted batches still pay only
+    ceil(popcount/chunk) trips, so static insert budgets carry imbalance
+    slack without probe work for the padding (same trick as
+    models.lio.chunked_assoc)."""
     n = pts.shape[0]
     chunk = min(chunk, n)
-    n_chunks = (jnp.sum(valid).astype(jnp.int32) + chunk - 1) // chunk
+    n_rows = jnp.max(jnp.where(valid, jnp.arange(n, dtype=jnp.int32) + 1, 0))
+    n_chunks = (n_rows + chunk - 1) // chunk
 
     def body(i, bufs):
         cm, sl, bc = bufs
@@ -245,19 +251,24 @@ def _insert_gate_phase_chunked(vmap: VoxelMap, pts, valid, coords,
 
 def insert_gate(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
                 voxel_size: float, min_distance: float, max_probe: int,
-                gate_chunk: int = 0) -> jnp.ndarray:
+                gate_chunk: int = 0, with_aux: bool = False):
     """Standalone candidate predicate of insert() (phases 1-2 only):
     which points of the batch would be insertion candidates against the
     CURRENT table.  Used by the sharded engine to reproduce the
-    single-chip `budget` prefix globally (parallel.sharded_lio)."""
+    single-chip `budget` prefix globally (parallel.sharded_lio).
+
+    `with_aux=True` additionally returns the (slot, blk_cnt) aux arrays,
+    which insert() can consume via `pre_gate` to skip re-running the
+    probe/distance phase (the gate is the dominant insert cost — one
+    K-point block gather per row)."""
     coords = voxel_coords(pts, voxel_size)
     if gate_chunk and gate_chunk < pts.shape[0]:
-        gate, _slot, _cnt = _insert_gate_phase_chunked(
+        gate, slot, cnt = _insert_gate_phase_chunked(
             vmap, pts, valid, coords, min_distance, max_probe, gate_chunk)
     else:
-        gate, _slot, _cnt = _insert_gate_phase(vmap, pts, valid, coords,
-                                               min_distance, max_probe)
-    return gate
+        gate, slot, cnt = _insert_gate_phase(vmap, pts, valid, coords,
+                                             min_distance, max_probe)
+    return (gate, slot, cnt) if with_aux else gate
 
 
 def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
@@ -265,6 +276,8 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
            point_ids: Optional[jnp.ndarray] = None,
            budget: Optional[int] = None,
            gate_chunk: int = 0,
+           pre_gate: Optional[Tuple[jnp.ndarray, jnp.ndarray,
+                                    jnp.ndarray]] = None,
            ) -> Tuple[VoxelMap, jnp.ndarray]:
     """Insert a batch of world points with addPointToMap semantics.
 
@@ -283,9 +296,10 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     call — on a live map the same voxels reappear next sweep, so the map
     self-heals; None processes the full batch.
 
-    `gate_chunk` > 0 runs the probe/distance gate phase over only the
-    VALID PREFIX of the batch in chunks (requires prefix-compacted
-    validity; exact — the gate is per-row against the pre-insert table).
+    `gate_chunk` > 0 runs the probe/distance gate phase in chunks over
+    only the rows up to the last valid one (exact for any validity
+    pattern — the gate is per-row against the pre-insert table; cheapest
+    when validity is prefix-compacted).
 
     Returns (new_map, accepted) where accepted is a bool mask of points that
     were stored.  `point_ids` optionally tags stored points with an external
@@ -301,7 +315,13 @@ def insert(vmap: VoxelMap, pts: jnp.ndarray, valid: jnp.ndarray,
     keys = vmap.keys
     sig_col = vmap.sig
 
-    if gate_chunk and gate_chunk < n:
+    if pre_gate is not None:
+        # caller already ran insert_gate(with_aux=True) against THIS
+        # table state; `valid` may be a narrowing of the gate's valid
+        # (e.g. the sharded engine's global insert-budget mask)
+        g, slot, blk_cnt = pre_gate
+        cand_mask = g & valid
+    elif gate_chunk and gate_chunk < n:
         cand_mask, slot, blk_cnt = _insert_gate_phase_chunked(
             vmap, pts, valid, coords, min_distance, max_probe, gate_chunk)
     else:

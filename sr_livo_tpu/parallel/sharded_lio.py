@@ -254,9 +254,31 @@ class ShardedLioEngine:
                 check_vma=False))
         return self._map_size(vmap)
 
+    def make_profile_step(self, stop_after: str, phase: str = "steady"):
+        """Prefix program of the per-sweep step that stops after the
+        named stage and returns one replicated scalar checksum — used by
+        scripts/scaling_bench.py to attribute per-shard cost to stages
+        (jit boundaries inside the real program would change what XLA
+        can fuse; prefix differencing does not).  `stop_after` is one of
+        _PROFILE_STAGES."""
+        fn = functools.partial(self._sweep_core, phase=phase,
+                               stop_after=stop_after)
+        map_spec = vm.VoxelMap(keys=P(MAP_AXIS), sig=P(MAP_AXIS),
+                               points=P(MAP_AXIS), counts=P(MAP_AXIS),
+                               point_ids=P(MAP_AXIS))
+        rep = jax.tree_util.tree_map(lambda _: P(), SweepInput(
+            *([0] * len(SweepInput._fields))))
+        state_spec = jax.tree_util.tree_map(
+            lambda _: P(), eskf_mod.init_state())
+        sm = shard_map(fn, mesh=self.mesh,
+                       in_specs=(state_spec, map_spec, rep),
+                       out_specs=P(), check_vma=False)
+        return jax.jit(sm)
+
     # ------------------------------------------------------------------
     def _sweep_core(self, state: EskfState, local_map: vm.VoxelMap,
-                    sweep: SweepInput, *, phase: str) -> SweepOutput:
+                    sweep: SweepInput, *, phase: str,
+                    stop_after: str = None) -> SweepOutput:
         cfg = self.cfg
         icp = cfg.icp
         odo = cfg.odometry_options
@@ -317,6 +339,8 @@ class ShardedLioEngine:
                 raw_s @ self.r_il.T + self.t_il) + state_pred.p
         deskew_s = frame_ops.to_end_frame(imu_pts, imu_states,
                                           self.r_il, self.t_il)
+        if stop_after == "deskew":
+            return jax.lax.psum(jnp.sum(deskew_s), MAP_AXIS)
 
         # 3. Frame voxel subsample — exact distributed dedup, SORT-FREE
         #    (round-4: the lex_sort_dedup argsort pairs here were the
@@ -367,6 +391,10 @@ class ShardedLioEngine:
             pref_f[perm_j[jnp.clip(gidx_seg, 0, N_tot - 1)]]
             .astype(jnp.int32),
             I32_MAX)
+        if stop_after == "frame_sub":
+            return jax.lax.psum(
+                jnp.sum(jnp.where(seg_val[:, None], frame_pt_s, 0.0))
+                + jnp.sum(jnp.where(seg_val, r_f, 0)), MAP_AXIS)
 
         # 4. Keypoint grid sample — same machinery at the sample voxel.
         #    Winner per cell = min frame rank (the single-chip stream-
@@ -402,6 +430,10 @@ class ShardedLioEngine:
             pref_k[jnp.clip(kp_rf, 0, F_cap - 1)].astype(jnp.int32),
             I32_MAX)
         key_pt_s = kseg_rows[:, 0:3]      # end-frame LiDAR coords
+        if stop_after == "kp_sub":
+            return jax.lax.psum(
+                jnp.sum(jnp.where(kseg_val[:, None], key_pt_s, 0.0))
+                + jnp.sum(jnp.where(kseg_val, r_k, 0)), MAP_AXIS)
 
         # 5. Route keypoints to their center-block owner (one dest each;
         #    the halo makes the whole neighborhood local there).
@@ -420,6 +452,9 @@ class ShardedLioEngine:
         overflow += d
         key_q = qrows[:, 0:3]
         rank_q = jnp.where(qval, routing.unpack_col_i32(qrows, 3), I32_MAX)
+        if stop_after == "route_q":
+            return jax.lax.psum(
+                jnp.sum(jnp.where(qval[:, None], key_q, 0.0)), MAP_AXIS)
 
         # 6. Distributed ESIKF: local rows, one packed psum per iteration.
         def _run_iekf(nb):
@@ -448,6 +483,8 @@ class ShardedLioEngine:
             lambda a, b: jnp.where(sweep.do_optimize, a, b),
             state_upd, state_pred)
         success = jnp.where(sweep.do_optimize, summary.success, True)
+        if stop_after == "iekf":
+            return jax.lax.psum(jnp.sum(state_new.p), MAP_AXIS)
 
         # 7. OWNER-INSERT + ACCEPTED-REPLAY.  Each frame row routes ONCE
         #    to its primary (center-block) owner, which runs the gate,
@@ -489,6 +526,19 @@ class ShardedLioEngine:
                                                self.W_ins)
         overflow += d
         ins_rf = routing.unpack_col_i32(ins_rows, 3)
+        if stop_after == "ins_route":
+            return jax.lax.psum(
+                jnp.sum(jnp.where(ins_val[:, None], ins_rows, 0.0))
+                + jnp.sum(state_new.p), MAP_AXIS)
+        # The gate runs ONCE (with aux) and feeds both the global budget
+        # prefix and the insert itself via pre_gate — the probe +
+        # K-point block-distance gather is the dominant insert cost, and
+        # round 4 ran it twice on this leg.
+        pre = vm.insert_gate(
+            local_map, ins_rows[:, 0:3], ins_val, icp.size_voxel_map,
+            odo.min_distance_points, sh.map_max_probe,
+            gate_chunk=sh.query_chunk, with_aux=True)
+        gate = pre[0]
         if sh.max_insert_points and sh.max_insert_points < F:
             # Exact global insert-budget semantics (single-chip
             # vm.insert(budget=max_insert_points) keeps the first
@@ -497,10 +547,6 @@ class ShardedLioEngine:
             # the exclusive prefix reproduces the single-chip candidate
             # ordering.  Every candidate is at its primary owner here,
             # so the owner's verdict is THE verdict.
-            gate = vm.insert_gate(
-                local_map, ins_rows[:, 0:3], ins_val, icp.size_voxel_map,
-                odo.min_distance_points, sh.map_max_probe,
-                gate_chunk=sh.query_chunk)
             flag_tgt = jnp.where(gate, jnp.clip(ins_rf, 0, F - 1), F)
             flags = jnp.zeros((F + 1,), jnp.float32).at[flag_tgt].set(
                 1.0, mode="drop")
@@ -509,10 +555,17 @@ class ShardedLioEngine:
             ins_val = ins_val & (~gate | (
                 prefix[jnp.clip(ins_rf, 0, F - 1)]
                 < np.float32(sh.max_insert_points)))
+        if stop_after == "ins_gate":
+            return jax.lax.psum(
+                jnp.sum(ins_val.astype(jnp.float32))
+                + jnp.sum(state_new.p), MAP_AXIS)
         local_new, accepted = vm.insert(
             local_map, ins_rows[:, 0:3], ins_val, icp.size_voxel_map,
-            odo.min_distance_points, sh.map_max_probe,
-            gate_chunk=sh.query_chunk)
+            odo.min_distance_points, sh.map_max_probe, pre_gate=pre)
+        if stop_after == "insert":
+            return jax.lax.psum(
+                jnp.sum(accepted.astype(jnp.float32))
+                + jnp.sum(local_new.counts).astype(jnp.float32), MAP_AXIS)
 
         # 7b. Replay accepted rows to the other storing shards.  The
         #    corner-owner set of a voxel covers exactly the shards whose
@@ -545,6 +598,10 @@ class ShardedLioEngine:
         buf6, bval6, d = routing.pack_for_exchange(
             sel_dest, val_c, ins_rows[sel_row], n, self.B6)
         overflow += d
+        if stop_after == "rep_pack":
+            return jax.lax.psum(
+                jnp.sum(buf6) + jnp.sum(local_new.counts)
+                .astype(buf6.dtype), MAP_AXIS)
         rcv6, rval6 = routing.exchange(buf6, bval6, MAP_AXIS)
         # order replay rows by global rank: a small stable argsort over
         # the replay receive buffer (a few thousand rows) — NOT the hot
@@ -557,10 +614,26 @@ class ShardedLioEngine:
         rep_rows = rcv6[order6][:self.C_rep]
         rep_val = rval6[order6][:self.C_rep]
         overflow += (jnp.sum(rval6) - jnp.sum(rep_val)).astype(jnp.int32)
+        if stop_after == "rep_sort":
+            return jax.lax.psum(
+                jnp.sum(jnp.where(rep_val[:, None], rep_rows, 0.0))
+                + jnp.sum(local_new.counts).astype(rep_rows.dtype),
+                MAP_AXIS)
+        # Replayed rows were ACCEPTED at their primary owner, and the
+        # replica's voxel blocks are identical by induction — so the
+        # replica's min-distance verdict is already known to be "pass".
+        # min_distance=0.0 skips the K-point block-distance gather (the
+        # dominant insert cost; round-4 this leg re-ran the full gate
+        # and was the single largest per-shard stage, ~18 ms of a 52 ms
+        # weak-8 step).  Probe/claim/append still run, landing rows at
+        # identical slots.
         local_new, _rep_acc = vm.insert(
             local_new, rep_rows[:, 0:3], rep_val,
-            icp.size_voxel_map, odo.min_distance_points, sh.map_max_probe,
+            icp.size_voxel_map, 0.0, sh.map_max_probe,
             gate_chunk=sh.query_chunk)
+        if stop_after == "replay":
+            return jax.lax.psum(
+                jnp.sum(local_new.counts).astype(jnp.float32), MAP_AXIS)
 
         # 8. Re-assemble replicated outputs in the exact single-chip
         #    layout: scatter segments by global rank, then ONE psum for
@@ -583,6 +656,11 @@ class ShardedLioEngine:
         frame_valid_g = out_pack[:F, 3] > 0.5
         inserted_g = out_pack[:F, 4] > 0.5
         overflow = out_pack[F, 0].astype(jnp.int32)
+        if stop_after == "out":
+            return jax.lax.psum(
+                jnp.sum(frame_world_g) + jnp.sum(local_new.counts)
+                .astype(frame_world_g.dtype) + jnp.sum(state_new.p),
+                MAP_AXIS)
 
         summary = summary._replace(success=success)
         return SweepOutput(state=state_new, voxel_map=local_new,

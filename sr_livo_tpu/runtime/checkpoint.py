@@ -84,10 +84,12 @@ def save_pipeline(pipeline, path: str):
         _flatten("camera", v.camera, out)
         _flatten("colormap", v.color_map, out)
         _flatten("tracks", v.tracks, out)
+        # n_new_visited is deliberately NOT saved: the fused rendered-
+        # frame program derives it in-program from the insert, so a
+        # restored value would never be consumed (advisor r4).
         meta["vision"] = {
             "first_data": v.first_data,
             "prev_time": v.prev_time,
-            "n_new_visited": int(v.n_new_visited),
         }
         if v.prev_pyr is not None:
             _flatten("prev_pyr", v.prev_pyr, out)
@@ -145,7 +147,6 @@ def load_pipeline(pipeline, path: str):
         vm = meta["vision"]
         v.first_data = vm["first_data"]
         v.prev_time = vm["prev_time"]
-        v.n_new_visited = jnp.int32(vm["n_new_visited"])
         if "prev_pyr__treedef" in data and v.prev_time is not None:
             # rebuild template pyramid to unflatten against
             import sr_livo_tpu.ops.lk as lk
