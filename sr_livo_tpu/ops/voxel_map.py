@@ -500,11 +500,9 @@ def remove_far_voxels(vmap: VoxelMap, location: jnp.ndarray,
     return vmap._replace(counts=counts)
 
 
-@functools.partial(jax.jit, static_argnames=("distance", "max_probe"),
-                   donate_argnums=(0,))
-def compact_map(vmap: VoxelMap, location: jnp.ndarray, *,
-                distance: float, max_probe: int
-                ) -> Tuple[VoxelMap, jnp.ndarray]:
+def compact_map_impl(vmap: VoxelMap, location: jnp.ndarray, *,
+                     distance: float, max_probe: int
+                     ) -> Tuple[VoxelMap, jnp.ndarray]:
     """Rebuild the table keeping only voxels within `distance` of
     `location`: the slot-reclaiming eviction (erase semantics of
     removePointsFarFromLocation, lioOptimization.cpp:556-572 — robin_map
@@ -572,3 +570,8 @@ def compact_map(vmap: VoxelMap, location: jnp.ndarray, *,
         vmap.counts, mode="drop", unique_indices=True)
     return VoxelMap(keys=new_keys, sig=new_sig, points=new_points,
                     counts=new_counts, point_ids=new_ids), n_dropped
+
+
+compact_map = functools.partial(
+    jax.jit, static_argnames=("distance", "max_probe"), donate_argnums=(0,)
+)(compact_map_impl)

@@ -141,20 +141,20 @@ def windowed_ba(voxel_map: vm.VoxelMap, window: KeyframeWindow,
                 prior_rot_w: float = 100.0, prior_t_w: float = 100.0,
                 damping: float = 1e-3) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-device windowed BA.  Returns refined (q (K,4), t (K,3))."""
-    K = window.q.shape[0]
 
     def gn_iter(_i, carry):
         q, t = carry
-        hs, bs = [], []
-        for k in range(K):
-            h, b, _n, _l = _plane_residual_blocks(
-                voxel_map, q[k], t[k], window.points[k], window.pt_valid[k],
+        # one batched program over the window (vmap over K), not a
+        # Python-unrolled keyframe loop — K copies of the kNN gather
+        # pipeline compile K times slower and schedule serially
+        hs, bs = jax.vmap(
+            lambda qk, tk, pk, vk: _plane_residual_blocks(
+                voxel_map, qk, tk, pk, vk,
                 voxel_size=voxel_size, max_neighbors=max_neighbors,
                 min_neighbors=min_neighbors, max_probe=max_probe,
-                max_dist=max_dist)
-            hs.append(h)
-            bs.append(b)
-        dx = _assemble_and_solve(jnp.stack(hs), jnp.stack(bs), q, t,
+                max_dist=max_dist)[:2]
+        )(q, t, window.points, window.pt_valid)
+        dx = _assemble_and_solve(hs, bs, q, t,
                                  q_odo, t_odo, window.kf_valid,
                                  prior_rot_w, prior_t_w, damping)
         return _apply(q, t, dx)
@@ -186,7 +186,12 @@ def make_sharded_windowed_ba(mesh: Mesh, n_keyframes: int, *,
     ownership is a function of it); `route_slack` sizes the static
     per-destination routing budgets against spatial density imbalance
     (rows beyond budget are dropped for that iteration — the same
-    degradation contract as the LIO router).
+    degradation contract as the LIO router: dropped rows are COUNTED,
+    never silent; the returned overflow is the psum over shards and GN
+    iterations, asserted zero in the parity test).
+
+    Returns a jitted fn(map, window, q_odo, t_odo) ->
+    (q (K,4), t (K,3), route_overflow int32).
     """
     n_dev = mesh.devices.size
     assert n_keyframes % n_dev == 0
@@ -216,17 +221,19 @@ def make_sharded_windowed_ba(mesh: Mesh, n_keyframes: int, *,
                 + jnp.repeat(jnp.arange(k_local, dtype=jnp.int32), N))
 
         def gn_iter(_i, carry):
-            q, t = carry
+            q, t, ovf = carry
             # route rows to the center-block owner of their CURRENT world
             # position (poses move between iterations)
             world_l = lie.quat_rotate(q[kf_l], pts_l) + t[kf_l]
             dest = shard_of(vm.voxel_coords(world_l, voxel_size), n_dev,
                             block_bits)
             rows = routing.pack_cols(pts_l, kf_l)
-            buf, bval, _d = routing.pack_for_exchange(
+            buf, bval, d = routing.pack_for_exchange(
                 dest, val_l, rows, n_dev, B)
+            ovf += d
             rcv, rval = routing.exchange(buf, bval, MAP_AXIS)
-            qrows, qval, _d2 = routing.compact(rcv, rval, W)
+            qrows, qval, d2 = routing.compact(rcv, rval, W)
+            ovf += d2
             body_pts = qrows[:, 0:3]
             kf_q = jnp.clip(routing.unpack_col_i32(qrows, 3), 0, K - 1)
 
@@ -260,10 +267,12 @@ def make_sharded_windowed_ba(mesh: Mesh, n_keyframes: int, *,
             dx = _assemble_and_solve(h_all, b_all, q, t, q_odo, t_odo,
                                      window.kf_valid, prior_rot_w,
                                      prior_t_w, damping)
-            return _apply(q, t, dx)
+            q, t = _apply(q, t, dx)
+            return q, t, ovf
 
-        q, t = jax.lax.fori_loop(0, iters, gn_iter, (window.q, window.t))
-        return q, t
+        q, t, ovf = jax.lax.fori_loop(
+            0, iters, gn_iter, (window.q, window.t, jnp.int32(0)))
+        return q, t, jax.lax.psum(ovf, MAP_AXIS)
 
     map_spec = vm.VoxelMap(keys=P(MAP_AXIS), sig=P(MAP_AXIS),
                            points=P(MAP_AXIS),
@@ -272,5 +281,5 @@ def make_sharded_windowed_ba(mesh: Mesh, n_keyframes: int, *,
                               kf_valid=P())
     fn = shard_map(body, mesh=mesh,
                    in_specs=(map_spec, win_spec, P(), P()),
-                   out_specs=(P(), P()), check_vma=False)
+                   out_specs=(P(), P(), P()), check_vma=False)
     return jax.jit(fn)

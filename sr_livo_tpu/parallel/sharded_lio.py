@@ -219,6 +219,7 @@ class ShardedLioEngine:
                            out_specs=out_spec, check_vma=False)
             self._steps[phase] = jax.jit(sm, donate_argnums=(1,))
         self._map_size = None
+        self._compact = None
 
     def init_state(self) -> EskfState:
         return eskf_mod.init_state(self.cfg.gravity_acc, self.dtype)
@@ -253,6 +254,42 @@ class ShardedLioEngine:
                 _ms, mesh=self.mesh, in_specs=(map_spec,), out_specs=P(),
                 check_vma=False))
         return self._map_size(vmap)
+
+    def compact(self, vmap: vm.VoxelMap, location) -> Tuple[
+            vm.VoxelMap, jnp.ndarray]:
+        """Slot-reclaiming far-voxel eviction of the SHARDED map
+        (lioOptimization.cpp:556-572 erase semantics; the sharded
+        counterpart of the single-chip pipeline's compact_map call).
+
+        Ownership is static (a voxel's owner/replica set never changes),
+        so each shard compacts its local table independently — no
+        routing, no exchange: owned voxels and halo replicas evict by
+        the same distance rule against the replicated state position,
+        which keeps replica tables consistent with their owners (the
+        accepted-replay induction invariant).  Returns (new_map, total
+        dropped-in-rehash count psum'd over shards — zero short of
+        pathological load factors).
+
+        Drive it every `eviction_every_n_frames` when
+        `enable_map_eviction` is set, exactly like the single-chip
+        pipeline (pipeline.py) — it is off the per-sweep path."""
+        if self._compact is None:
+            dist = self.cfg.odometry_options.max_distance
+            probe = self.cfg.shapes.map_max_probe
+
+            def _c(m, loc):
+                m2, dropped = vm.compact_map_impl(
+                    m, loc, distance=dist, max_probe=probe)
+                return m2, jax.lax.psum(dropped, MAP_AXIS)
+
+            map_spec = vm.VoxelMap(keys=P(MAP_AXIS), sig=P(MAP_AXIS),
+                                   points=P(MAP_AXIS), counts=P(MAP_AXIS),
+                                   point_ids=P(MAP_AXIS))
+            self._compact = jax.jit(shard_map(
+                _c, mesh=self.mesh, in_specs=(map_spec, P()),
+                out_specs=(map_spec, P()), check_vma=False),
+                donate_argnums=(0,))
+        return self._compact(vmap, jnp.asarray(location))
 
     def make_profile_step(self, stop_after: str, phase: str = "steady"):
         """Prefix program of the per-sweep step that stops after the
@@ -638,23 +675,25 @@ class ShardedLioEngine:
         # 8. Re-assemble replicated outputs in the exact single-chip
         #    layout: scatter segments by global rank, then ONE psum for
         #    everything (collective launch latency dominates small
-        #    reductions).
+        #    reductions).  Frame validity needs no column of its own:
+        #    stage-3 ranks are DENSE (0..n_winners-1 by construction of
+        #    the exclusive winner prefix), so valid = rank < n_winners,
+        #    and n_winners comes free from the already-psum'd flags_f.
         F = sh.max_frame_points
+        n_win = jnp.sum(flags_f).astype(jnp.int32)       # replicated
         tgt = jnp.where(seg_val, r_f, F)
-        out_pack = jnp.zeros((F, 5), frame_world_s.dtype)
+        out_pack = jnp.zeros((F, 4), frame_world_s.dtype)
         out_pack = out_pack.at[tgt, 0:3].set(
             frame_world_s, mode="drop", unique_indices=True)
-        out_pack = out_pack.at[tgt, 3].set(1.0, mode="drop",
-                                           unique_indices=True)
         acc_tgt = jnp.where(ins_val & accepted, ins_rf, F)
-        out_pack = out_pack.at[acc_tgt, 4].set(1.0, mode="drop")
-        ovf_row = jnp.zeros((1, 5), out_pack.dtype).at[0, 0].set(
+        out_pack = out_pack.at[acc_tgt, 3].set(1.0, mode="drop")
+        ovf_row = jnp.zeros((1, 4), out_pack.dtype).at[0, 0].set(
             overflow.astype(out_pack.dtype))
         out_pack = jax.lax.psum(
             jnp.concatenate([out_pack, ovf_row], axis=0), MAP_AXIS)
         frame_world_g = out_pack[:F, 0:3]
-        frame_valid_g = out_pack[:F, 3] > 0.5
-        inserted_g = out_pack[:F, 4] > 0.5
+        frame_valid_g = jnp.arange(F, dtype=jnp.int32) < n_win
+        inserted_g = out_pack[:F, 3] > 0.5
         overflow = out_pack[F, 0].astype(jnp.int32)
         if stop_after == "out":
             return jax.lax.psum(

@@ -85,19 +85,11 @@ def test_windowed_ba_recovers_poses():
         assert ang < 0.5, (k, ang)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharded_ba_matches_single():
-    world, m = _world_and_map()
-    window, q_odo, t_odo, q_gt, t_gt = _window(world, K=8)
-
-    q1, t1 = ba.windowed_ba(m, window, q_odo, t_odo, voxel_size=1.0,
-                            min_neighbors=8, iters=3)
-
-    msh = mesh_mod.make_mesh(8)
-    # reshard the map into 8 block-owner sub-tables WITH voxel halos (the
-    # ShardedLioEngine layout the owner-routed BA requires): a voxel is
-    # stored at every shard owning a block within halo reach, computed via
-    # the engine's 8-corner rule; one padded batched insert per shard
+def _reshard_map_with_halos(m, msh):
+    """Reshard a flat map into 8 block-owner sub-tables WITH voxel halos
+    (the ShardedLioEngine layout the owner-routed BA requires): a voxel is
+    stored at every shard owning a block within halo reach, computed via
+    the engine's 8-corner rule; one padded batched insert per shard."""
     cap = m.keys.shape[0]
     sub_cap = cap // 8
     K = m.block_capacity
@@ -130,14 +122,50 @@ def test_sharded_ba_matches_single():
         lambda *xs: jnp.concatenate(xs, axis=0), *sub_maps)
     from jax.sharding import NamedSharding, PartitionSpec as P
     shard = NamedSharding(msh, P("map"))
-    stacked = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard),
-                                     stacked)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, shard),
+                                  stacked)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_ba_matches_single():
+    world, m = _world_and_map()
+    window, q_odo, t_odo, q_gt, t_gt = _window(world, K=8)
+
+    q1, t1 = ba.windowed_ba(m, window, q_odo, t_odo, voxel_size=1.0,
+                            min_neighbors=8, iters=3)
+
+    msh = mesh_mod.make_mesh(8)
+    stacked = _reshard_map_with_halos(m, msh)
 
     fn = ba.make_sharded_windowed_ba(msh, 8, voxel_size=1.0,
                                      min_neighbors=8, iters=3)
-    q2, t2 = fn(stacked, window, q_odo, t_odo)
+    q2, t2, ovf = fn(stacked, window, q_odo, t_odo)
+    assert int(ovf) == 0, "no routing-budget overflow in the parity run"
     assert np.allclose(np.asarray(t1), np.asarray(t2), atol=5e-3)
     assert np.linalg.norm(np.asarray(t2) - t_gt, axis=-1).max() < 0.03
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_ba_starved_budgets_degrade_gracefully():
+    """Adversarial budget starvation (VERDICT r4 #5): with route_slack
+    far below the real density the BA router MUST overflow — the
+    contract is a NONZERO overflow count (never silent), finite outputs,
+    and a solve no worse than the initial perturbed window."""
+    world, m = _world_and_map()
+    window, q_odo, t_odo, q_gt, t_gt = _window(world, K=8)
+    msh = mesh_mod.make_mesh(8)
+    stacked = _reshard_map_with_halos(m, msh)
+
+    fn = ba.make_sharded_windowed_ba(msh, 8, voxel_size=1.0,
+                                     min_neighbors=8, iters=3,
+                                     route_slack=0.02)
+    q2, t2, ovf = fn(stacked, window, q_odo, t_odo)
+    assert int(ovf) > 0, "budgets this small must overflow (and count)"
+    assert np.all(np.isfinite(np.asarray(t2)))
+    assert np.all(np.isfinite(np.asarray(q2)))
+    err0 = np.linalg.norm(np.asarray(window.t) - t_gt, axis=-1).max()
+    err2 = np.linalg.norm(np.asarray(t2) - t_gt, axis=-1).max()
+    assert err2 < err0 * 1.5 + 0.05, (err0, err2)
 
 
 def _chain_graph(n=12, drift=0.02, loop=True, rng=None):
@@ -189,7 +217,7 @@ def _chain_graph(n=12, drift=0.02, loop=True, rng=None):
 
 
 def test_pose_graph_loop_closure_reduces_drift():
-    graph, q_gt, t_gt = _chain_graph()
+    graph, q_gt, t_gt = _chain_graph(rng=np.random.RandomState(21))
     drift0 = np.linalg.norm(np.asarray(graph.t)[-1] - t_gt[-1])
     q, t = pg.optimize_pose_graph(graph, iters=15)
     # graph consistency: residuals shrink
@@ -206,7 +234,8 @@ def test_pose_graph_loop_closure_reduces_drift():
 
 
 def test_pose_graph_perfect_measurements_stay_fixed():
-    graph, q_gt, t_gt = _chain_graph(drift=0.0, loop=True)
+    graph, q_gt, t_gt = _chain_graph(drift=0.0, loop=True,
+                                 rng=np.random.RandomState(22))
     q, t = pg.optimize_pose_graph(graph, iters=5)
     assert np.allclose(np.asarray(t), t_gt, atol=1e-3)
 
@@ -265,7 +294,8 @@ def test_backend_loop_feedback_reanchors_filter():
 def test_pcg_pose_graph_matches_dense():
     """The matrix-free PCG solve (large-graph path) must agree with the
     dense factorization to CG tolerance on a 96-node loopy graph."""
-    graph, q_gt, t_gt = _chain_graph(n=96, drift=0.03)
+    graph, q_gt, t_gt = _chain_graph(n=96, drift=0.03,
+                                 rng=np.random.RandomState(23))
     q_d, t_d = pg.optimize_pose_graph_dense(graph, iters=6)
     q_p, t_p = pg.optimize_pose_graph_pcg(graph, iters=6)
     # f32 CG on a chain-conditioned system converges to ~cm of the dense

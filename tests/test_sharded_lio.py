@@ -186,3 +186,81 @@ def test_route_overflow_degrades_gracefully():
         assert np.all(np.isfinite(np.asarray(s.cov)))
     assert saw_overflow > 0, "budgets this small must overflow"
     assert int(eng.map_size(m)) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_eviction_long_traverse():
+    """Sharded map lifecycle (VERDICT r4 #4): a sensor walks a long line
+    inserting local structure through the FULL engine step at
+    deliberately small per-shard capacity.  With periodic
+    engine.compact() the owned map stays bounded to the local
+    neighborhood and keeps absorbing new structure to the end; without
+    it the per-shard tables saturate with dead keys (the round-3
+    single-chip failure mode, mirrored here per shard).  Mirrors
+    test_voxel_map.test_compact_map_survives_capacity_pressure."""
+    cfg = _cfg()
+    cfg.shapes.max_sweep_points = 1024
+    cfg.shapes.max_frame_points = 1024
+    cfg.shapes.max_keypoints = 256
+    cfg.odometry_options.max_distance = 30.0
+    cfg.odometry_options.min_distance_points = 0.2
+    mesh = mesh_mod.make_mesh(8)
+    rng = np.random.RandomState(3)
+    n_imu = 8
+    steps = 36
+
+    def _walk_sweep(x0):
+        n = cfg.shapes.max_sweep_points
+        pts = np.c_[rng.uniform(x0 - 8, x0 + 8, n),
+                    rng.uniform(-6, 6, n),
+                    rng.uniform(0, 3, n)].astype(np.float32)
+        # stationary state: no valid IMU samples, no optimization — the
+        # walk happens in the point payload, so inserts exercise the
+        # owner-insert + replay legs while the pose stays at the origin
+        return SweepInput(
+            raw_pts=jnp.asarray(pts),
+            t_rel=jnp.zeros((n,), jnp.float32),
+            pt_valid=jnp.ones((n,), bool),
+            imu_t=jnp.zeros((n_imu,), jnp.float32),
+            imu_dt=jnp.zeros((n_imu,), jnp.float32),
+            imu_acc=jnp.zeros((n_imu, 3), jnp.float32),
+            imu_gyr=jnp.zeros((n_imu, 3), jnp.float32),
+            imu_valid=jnp.zeros((n_imu,), bool),
+            do_optimize=jnp.asarray(False),
+            threshold_capacity=jnp.int32(1))
+
+    def traverse(evict):
+        from sr_livo_tpu.parallel.sharded_lio import compute_budgets
+        b = compute_budgets(cfg, 8)
+        b["local_capacity"] = 1 << 9     # pressure: ~4k slots global
+        eng = ShardedLioEngine(cfg, mesh, budget_override=b)
+        s, m = eng.init_state(), eng.make_map()
+        growth = []
+        prev = 0
+        for step in range(steps):
+            x0 = 2.0 * step
+            out = eng.step(s, m, _walk_sweep(x0), 100 + step)
+            s, m = out.state, out.voxel_map
+            size = int(eng.map_size(m))
+            growth.append(size - prev)
+            prev = size
+            if evict and step % 6 == 5:
+                m, dropped = eng.compact(
+                    m, np.array([x0, 0.0, 1.5], np.float32))
+                # rehash drops are COUNTED; at this deliberate pressure
+                # (load factor ~1) a few are expected, never silent
+                assert int(dropped) < 100
+                prev = int(eng.map_size(m))
+        return np.array(growth), m, eng
+
+    g_e, m_e, eng_e = traverse(True)
+    g_n, _m_n, _ = traverse(False)
+    head = g_e[2:8].mean()
+    tail_e = g_e[-6:].mean()
+    tail_n = g_n[-6:].mean()
+    # with compaction the tail keeps absorbing like the head ...
+    assert tail_e > 0.5 * head, (head, tail_e)
+    # ... and clearly better than the saturated no-eviction run
+    assert tail_e > 2.0 * tail_n, (tail_e, tail_n)
+    # owned size bounded to the local neighborhood
+    assert int(eng_e.map_size(m_e)) < (1 << 9) * 8 * 20 // 2
