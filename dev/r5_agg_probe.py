@@ -1,5 +1,5 @@
-"""Round-5 probe: single r3live standard-profile replay on a cached bag,
-with per-stage track survival breakdown."""
+"""Aggressive-profile ATE experiments: knob overrides via argv.
+usage: python dev/r5_agg_probe.py [cap=N] [kp=N] [iters=N] [svox=F] [seed=i]"""
 import os, sys, time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
@@ -14,22 +14,22 @@ from sr_livo_tpu.pipeline import LivoPipeline
 from sr_livo_tpu.runtime import drivers, tum
 from sr_livo_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
-bag = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, ".accuracy_cache", "r3live2_60_10_standard_v7.bag")
+kv = dict(a.split("=") for a in sys.argv[1:])
+bag = os.path.join(ROOT, ".accuracy_cache", "r3live_agg_30_10_aggressive_v7.bag")
 cfg = load_config(os.path.join(ROOT, "configs", "r3live.yaml"))
 ag._shape_overrides(cfg)
 cfg.retry_wider_neighborhood = True
-import os as _os
-if _os.environ.get("NOWIRE"):
-    cfg.wire_quantization = False
-if _os.environ.get("SVOX"):
-    cfg.odometry_options.sample_voxel_size = float(_os.environ["SVOX"])
-if _os.environ.get("CAP"):
-    cfg.icp.max_num_residuals = int(_os.environ["CAP"])
-if _os.environ.get("ADAPTIVE"):
+if "cap" in kv: cfg.icp.max_num_residuals = int(kv["cap"])
+if "kp" in kv: cfg.shapes.max_keypoints = int(kv["kp"])
+if "iters" in kv: cfg.icp.num_iters_icp = int(kv["iters"])
+if "svox" in kv:
+    cfg.odometry_options.sample_voxel_size = float(kv["svox"])
+if "adaptive" in kv:
     cfg.adaptive_keypoint_density = True
-    cfg.dense_gyr_threshold = float(_os.environ["ADAPTIVE"])
-if _os.environ.get("WARM"):
-    cfg.dense_warmup_s = float(_os.environ["WARM"])
+    cfg.dense_gyr_threshold = float(kv["adaptive"])
+if "acc" in kv: cfg.dense_acc_threshold = float(kv["acc"])
+if "hold" in kv: cfg.dense_hold_s = float(kv["hold"])
+if "warm" in kv: cfg.dense_warmup_s = float(kv["warm"])
 vision = VisionModule(cfg)
 pipe = LivoPipeline(cfg, vision=vision)
 t0 = time.time()
@@ -44,16 +44,7 @@ print("trigger: dense", pipe.n_dense_sweeps, "/", len(pipe._trigger_log),
       round(float(np.percentile(tl[:,1],90)),2),
       "acc p50/p90", round(float(np.percentile(tl[:,2],50)),2),
       round(float(np.percentile(tl[:,2],90)),2))
-stats = vision.stats
-full = np.array([r[1:] for r in vision._stats_full[5:]], dtype=float)
-names = ["status", "keep", "active", "post_lk", "post_fr", "post_fov", "post_pnp", "appended"]
 recs = pipe.records
 nres = [r.num_residuals for r in recs if r.success]
-print("ate_m", round(float(ate), 4), "wall_s", round(wall, 1),
-      "res_mean", round(float(np.mean(nres)), 0),
-      "res_p90", round(float(np.percentile(nres, 90)), 0))
-eng = [s[1] for s in stats[5:]]
-print("mean_tracks", round(float(np.mean(eng)), 1),
-      "gate_pct", round(float(np.mean([e >= 30 for e in eng])), 4))
-print("stage means:", {n: round(float(m), 1) for n, m in zip(names, full.mean(0))})
-print("stage p10:", {n: round(float(m), 1) for n, m in zip(names, np.percentile(full, 10, 0))})
+print(f"{kv}: ate={float(ate):.4f} res_mean={np.mean(nres):.0f} "
+      f"res_p90={np.percentile(nres,90):.0f} wall={wall:.0f}s")

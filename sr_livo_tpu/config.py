@@ -289,6 +289,37 @@ class LivoConfig:
     # populated voxels.  The retry branch only executes when triggered
     # (lax.cond).
     retry_wider_neighborhood: bool = False
+    # Motion-adaptive keypoint density (no reference counterpart — its
+    # sample grid is a static config): when the sweep's host-computed
+    # mean |gyro| exceeds dense_gyr_threshold, the engine runs the
+    # steady_dense program variant whose keypoint grid is
+    # dense_sample_voxel_size instead of odo.sample_voxel_size.  Under
+    # fast rotation the standard grid leaves the point-to-plane solve
+    # residual-starved (measured on the aggressive gate profile: ~95
+    # residuals vs the reference's ~600-residual operating point,
+    # r3live.yaml:69; ATE 8.9 -> 3.4 cm with the dense grid), while
+    # slow-motion sweeps keep the cheaper reference grid.
+    adaptive_keypoint_density: bool = False
+    dense_sample_voxel_size: float = 0.5
+    dense_gyr_threshold: float = 1.2       # rad/s, mean |gyro| per sweep
+    # ... or fast translation: mean | |acc| - G | over the sweep (the
+    # host-side proxy for dynamic acceleration; ~6 m/s^2 on the
+    # aggressive profile's 3.4 m/s oscillation vs ~1.3 on standard)
+    dense_acc_threshold: float = 2.5       # m/s^2
+    # Dense warmup: run the dense variant for this long after filter
+    # init regardless of motion — the stationary early sweeps set how
+    # tightly gravity/bias converge before motion starts, and their
+    # residual count is the lever (measured: sparse warmup costs 3 cm
+    # on the aggressive profile even with every moving sweep dense,
+    # while stretching the window deep into slow-profile MOTION costs
+    # ~1 cm there — 4 s covers the stationary tail only)
+    dense_warmup_s: float = 4.0
+    # Trigger hold: oscillating hard motion dips below the threshold
+    # between peaks; once triggered, the dense variant stays selected
+    # for this long (the residual starvation damage accrues during the
+    # dips too — measured aggressive ATE 7.7 cm without hold vs 3.5 cm
+    # with, threshold 1.2)
+    dense_hold_s: float = 2.0
     # Frame retirement (lioOptimization.cpp:1101-1130): bound the live
     # frame-record set to num_for_initialization pre-init / 2 post-init,
     # appending retired poses to output_path pose/velocity/bias files in

@@ -48,16 +48,16 @@ class BackendConfig:
     # high fitness at a wrong translation
     loop_min_observability: float = 0.15
     loop_check_every_n: int = 5
-    # Loop candidates verified per check.  With feedback_to_filter, keep
-    # this low: every verified closure triggers a feedback event, and
-    # each event rigidly re-anchors the world frame mid-run while the
-    # frontend voxel map stays where drifted inserts put it (the
-    # documented apply_pose_correction limitation) — measured on the
-    # 60 s revisit gate: 2 pairs -> 7 cm, 4 -> 11 cm, 8 -> 56+ cm ATE,
-    # with individually GOOD closures (cm-consistent edges).  Raising
-    # this is safe for offline optimized_trajectory() use; pairing it
-    # with live feedback needs map re-anchoring first (round-5 item).
-    loop_max_pairs: int = 2
+    # Loop candidates verified per check.  Round 4 pinned this at 2:
+    # every verified closure triggers a feedback event that rigidly
+    # re-anchored the world frame while the frontend voxel map stayed
+    # where drifted inserts put it (measured then: 2 pairs -> 7 cm,
+    # 4 -> 11 cm, 8 -> 56+ cm ATE with individually GOOD closures).
+    # With feedback_rebuild_map (round 5) the map is rebuilt from the
+    # keyframe payloads at their loop-consistent poses on every
+    # feedback event, removing that failure mode — the default returns
+    # to the full candidate budget.
+    loop_max_pairs: int = 8
     max_keyframe_points: int = 1024
     odometry_rot_w: float = 50.0
     odometry_t_w: float = 50.0
@@ -70,6 +70,17 @@ class BackendConfig:
     feedback_to_filter: bool = False
     feedback_trans_noise: float = 1e-3
     feedback_ang_noise: float = 1e-3
+    # Rebuild the frontend voxel map from the stored keyframe scans at
+    # their loop-consistent poses on every feedback event (map
+    # re-anchoring).  A rigid whole-map transform cannot fix the
+    # post-correction inconsistency: near a revisit the map holds BOTH
+    # old (near-correct) and recent (drifted) inserts of the same
+    # geometry, and any rigid move leaves one population disagreeing
+    # with the corrected state.  The per-keyframe rebuild places every
+    # scan at its optimized pose — the map the frontend WOULD have
+    # built had it tracked the loop-consistent trajectory — at the
+    # cost of keyframe-subsample density (the next sweeps re-densify).
+    feedback_rebuild_map: bool = True
     # Long-run memory bound: keyframes beyond this many keep their pose
     # (pose graph stays complete) but drop their point payload — the
     # dominant per-keyframe memory (max_keyframe_points x 3 f32).
@@ -88,6 +99,7 @@ class MappingBackend:
         self.ba_runs = 0
         self._pending_feedback = False
         self.n_feedback_applied = 0
+        self.n_map_rebuilds = 0
 
     # ---- called by the pipeline after each processed frame -------------
     def maybe_add_keyframe(self, pipeline, out, meas):
@@ -160,11 +172,13 @@ class MappingBackend:
         measures actual motion instead of absorbing the correction jump.
         Relative edges are invariant under this rigid re-anchor.
 
-        Known limitation: the frontend voxel map is NOT rebuilt — after
-        a large correction, ICP registers new sweeps against geometry
-        inserted at the drifted poses until those voxels are naturally
-        re-observed/evicted.  Keep feedback_to_filter off (default) when
-        map self-consistency matters more than live loop consistency.
+        With feedback_rebuild_map (default) the frontend voxel map is
+        rebuilt from the keyframe payloads at their loop-consistent
+        poses (see BackendConfig.feedback_rebuild_map) — without it,
+        ICP registers new sweeps against geometry inserted at the
+        drifted poses until those voxels are naturally re-observed or
+        evicted, which caps the usable loop_max_pairs at ~2 (round-4
+        measurement at backend.py:44).
         """
         if len(self.keyframes) < 2 or not self.edges:
             return False
@@ -185,18 +199,65 @@ class MappingBackend:
             state, t_target, q_target,
             trans_noise=self.cfg.feedback_trans_noise,
             ang_noise=self.cfg.feedback_ang_noise)
-        # Re-anchor the stored keyframes into the corrected world frame
-        # so the next odometry edge does not remeasure the jump.
-        qd = np.asarray(q_delta, np.float32)
-        td = np.asarray(t_delta, np.float32)
-        for f in self.keyframes:
-            fq = np.asarray(lie.quat_normalize(
-                lie.quat_mul(jnp.asarray(qd), jnp.asarray(f.q))), np.float32)
-            ft = np.asarray(lie.quat_rotate(jnp.asarray(qd),
-                                            jnp.asarray(f.t)), np.float32) + td
-            f.q, f.t = fq, ft
+        # Store the loop-consistent poses back into the keyframes: the
+        # newest keyframe's optimized pose IS its delta-composed pose
+        # (the delta is defined from it), so the next odometry edge
+        # measures actual motion, and older keyframes take their
+        # individually optimized poses so later pose-graph solves start
+        # at the optimum (a rigid delta would leave the past bent).
+        for k, f in enumerate(self.keyframes):
+            f.q = np.asarray(q_opt[k], np.float32)
+            f.t = np.asarray(t_opt[k], np.float32)
+        if self.cfg.feedback_rebuild_map:
+            self._rebuild_map(pipeline)
         self.n_feedback_applied += 1
         return True
+
+    def _rebuild_map(self, pipeline):
+        """Map re-anchoring (round-5): fresh frontend voxel table filled
+        with every retained keyframe payload at its (now
+        loop-consistent) stored pose, oldest first — the map the
+        frontend would have built along the corrected trajectory.
+        Keyframe-subsample density is lower than the live map's; the
+        following sweeps re-densify it.  Off the per-sweep path (runs
+        only on feedback events)."""
+        from sr_livo_tpu.ops import voxel_map as vm
+        cfg = pipeline.cfg
+        m = vm.make_map(cfg.shapes.map_capacity, cfg.shapes.map_voxel_points)
+        icp, odo = cfg.icp, cfg.odometry_options
+        # one batched insert per GROUP of keyframes (fixed row count, so
+        # one compiled program serves every group of every rebuild —
+        # per-keyframe dispatches made the rebuild wall-visible on 100+
+        # keyframe runs); within-batch same-voxel rows skip the mutual
+        # distance check, the same documented insert() batch semantics
+        # the live per-sweep path already has
+        group = 16
+        rows_per = max((f.points.shape[0] for f in self.keyframes),
+                       default=0)
+        ws, vs = [], []
+        for f in self.keyframes:
+            if f.points.shape[0] == 0:
+                continue           # condensed payload: region re-observes
+            r = np.asarray(lie.quat_to_rot(jnp.asarray(f.q)), np.float32)
+            w = np.zeros((rows_per, 3), np.float32)
+            v = np.zeros((rows_per,), bool)
+            w[:f.points.shape[0]] = f.points @ r.T + f.t
+            v[:f.valid.shape[0]] = f.valid
+            ws.append(w)
+            vs.append(v)
+        for g in range(0, len(ws), group):
+            chunk = ws[g:g + group]
+            pad = group - len(chunk)
+            world = np.concatenate(
+                chunk + [np.zeros((rows_per, 3), np.float32)] * pad)
+            val = np.concatenate(
+                vs[g:g + group] + [np.zeros((rows_per,), bool)] * pad)
+            m, _ = vm.insert(
+                m, jnp.asarray(world), jnp.asarray(val),
+                icp.size_voxel_map, odo.min_distance_points,
+                cfg.shapes.map_max_probe)
+        pipeline.voxel_map = m
+        self.n_map_rebuilds += 1
 
     # ---- windowed BA over the most recent keyframes ---------------------
     def _run_window_ba(self, voxel_map):

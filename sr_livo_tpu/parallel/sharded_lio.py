@@ -212,7 +212,7 @@ class ShardedLioEngine:
             record=P(), route_overflow=P())
 
         self._steps = {}
-        for phase in ("init", "steady"):
+        for phase in ("init", "steady", "steady_dense"):
             fn = functools.partial(self._sweep_core, phase=phase)
             sm = shard_map(fn, mesh=mesh,
                            in_specs=(state_spec, map_spec, rep),
@@ -323,7 +323,11 @@ class ShardedLioEngine:
         n = self.n_shards
         me = jax.lax.axis_index(MAP_AXIS)
         is_init = phase == "init"
+        # steady_dense: motion-adaptive keypoint density, same semantics
+        # as the single-chip variant (models.odometry._sweep_core)
         sample_voxel = (odo.init_sample_voxel_size if is_init
+                        else cfg.dense_sample_voxel_size
+                        if phase == "steady_dense"
                         else odo.sample_voxel_size)
         sub_voxel = odo.init_voxel_size if is_init else odo.voxel_size
         nb_voxels = 2 if is_init else icp.voxel_neighborhood
@@ -841,8 +845,13 @@ class ShardedLioEngine:
         return s_out, lio_mod.IekfSummary(success=ok, num_residuals=n_res,
                                           iterations=iters)
 
-    def step(self, state, voxel_map, sweep: SweepInput, frame_id: int):
-        phase = ("init"
-                 if frame_id < self.cfg.odometry_options.init_num_frames
-                 else "steady")
+    def step(self, state, voxel_map, sweep: SweepInput, frame_id: int,
+             gyr_rate: float = 0.0):
+        if frame_id < self.cfg.odometry_options.init_num_frames:
+            phase = "init"
+        elif (self.cfg.adaptive_keypoint_density
+                and gyr_rate > self.cfg.dense_gyr_threshold):
+            phase = "steady_dense"
+        else:
+            phase = "steady"
         return self._steps[phase](state, voxel_map, sweep)

@@ -62,6 +62,10 @@ class LivoPipeline:
         self.vision = vision  # attached imaging module (models.vision)
         self.initialized = False
         self.current_time = -1.0
+        self._dense_until = -1e18      # adaptive_keypoint_density hold
+        self.n_dense_sweeps = 0        # observability: dense-variant picks
+        self._trigger_log = []         # (t, gyr_rate, acc_dev) per sweep
+        self._init_time = None         # time the filter initialized
         self.index_frame = 1
         # Records are kept as ONE packed device vector per frame and
         # materialized to FrameRecords in a single batched transfer on
@@ -241,9 +245,35 @@ class LivoPipeline:
             prev_poses = (self._pose_hist[-1],
                           self._pose_hist[-2] if len(self._pose_hist) > 1
                           else self._pose_hist[-1])
+        gyr_rate = 0.0
+        if self.cfg.adaptive_keypoint_density and meas.imu:
+            gyr_rate = float(np.mean(
+                [np.linalg.norm(g) for (_t, _a, g) in meas.imu]))
+            g_norm = float(np.linalg.norm(self.cfg.gravity_acc))
+            acc_dev = float(np.mean(
+                [abs(float(np.linalg.norm(a)) - g_norm)
+                 for (_t, a, _g) in meas.imu]))
+            self._trigger_log.append(
+                (self.current_time, gyr_rate, acc_dev))
+            if self._init_time is None and self.initialized:
+                self._init_time = self.current_time
+            warm = (self._init_time is not None
+                    and self.current_time - self._init_time
+                    < self.cfg.dense_warmup_s)
+            if warm or acc_dev > self.cfg.dense_acc_threshold:
+                gyr_rate = self.cfg.dense_gyr_threshold + 1.0
+            if gyr_rate > self.cfg.dense_gyr_threshold:
+                # hold the dense variant through the oscillation dips
+                self._dense_until = (self.current_time
+                                     + self.cfg.dense_hold_s)
+            elif self.current_time < self._dense_until:
+                gyr_rate = self.cfg.dense_gyr_threshold + 1.0
+            if gyr_rate > self.cfg.dense_gyr_threshold:
+                self.n_dense_sweeps += 1
         with self.timers.stage("lio_step"):
             out = self.engine.step(self.state, self.voxel_map, sweep,
-                                   self.index_frame, prev_poses=prev_poses)
+                                   self.index_frame, prev_poses=prev_poses,
+                                   gyr_rate=gyr_rate)
             if self.timers.sync:
                 import jax
                 jax.block_until_ready(out.state.p)
