@@ -29,7 +29,11 @@ extern "C" {
 // Returns number of points written.
 int livo_decode_xyzt(const uint8_t* data, long n_points, long point_step,
                      long off_x, long off_y, long off_z, long off_t,
-                     int t_dtype, double time_unit_scale, float* out_xyzt) {
+                     int t_dtype, double time_unit_scale, double t_base,
+                     float* out_xyzt) {
+    // t_base is subtracted in DOUBLE before the f32 downcast: vendors
+    // carrying absolute f64 stamps (robosense `timestamp`) would
+    // otherwise quantize to ~0.125 ms at epoch-scale magnitudes
     for (long i = 0; i < n_points; i++) {
         const uint8_t* p = data + i * point_step;
         float x, y, z;
@@ -47,7 +51,7 @@ int livo_decode_xyzt(const uint8_t* data, long n_points, long point_step,
         out_xyzt[i * 4 + 0] = x;
         out_xyzt[i * 4 + 1] = y;
         out_xyzt[i * 4 + 2] = z;
-        out_xyzt[i * 4 + 3] = (float)(t * time_unit_scale);  // milliseconds
+        out_xyzt[i * 4 + 3] = (float)((t - t_base) * time_unit_scale);  // ms
     }
     return (int)n_points;
 }

@@ -183,13 +183,17 @@ class CloudProcessing:
             tname, tdt = "time", 1              # float32
         has_t = tname in pc.fields
         off_t = pc.fields[tname][0] if has_t else 0
+        t_base = 0.0
+        if self.lidar_type == LIDAR_ROBOSENSE and has_t:
+            # robosense carries absolute f64 stamps; subtract the first
+            # point's stamp IN DOUBLE inside the decoder
+            # (cloudProcessing.cpp:477) — narrowing epoch-scale seconds
+            # to f32 first quantizes relative times to ~0.125 ms
+            t_base = float(np.frombuffer(
+                pc.data[off_t:off_t + 8], np.float64)[0])
         xyzt = native.decode_xyzt(pc.data, n, pc.point_step, fx, fy, fz,
                                   off_t, tdt if has_t else 0,
-                                  self.time_unit_scale)
-        if self.lidar_type == LIDAR_ROBOSENSE and has_t:
-            # robosense carries absolute stamps; make relative to first point
-            # (cloudProcessing.cpp:477)
-            xyzt[:, 3] -= xyzt[0, 3]
+                                  self.time_unit_scale, t_base=t_base)
         given = bool(has_t and n > 0 and xyzt[-1, 3] > 0)
         ring = None
         if not given and "ring" in pc.fields:

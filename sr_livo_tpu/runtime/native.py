@@ -51,7 +51,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.livo_decode_xyzt.restype = c.c_int
         lib.livo_decode_xyzt.argtypes = [
             c.c_char_p, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long,
-            c.c_long, c.c_int, c.c_double, c.POINTER(c.c_float)]
+            c.c_long, c.c_int, c.c_double, c.c_double,
+            c.POINTER(c.c_float)]
         lib.livo_decode_ring.restype = c.c_int
         lib.livo_decode_ring.argtypes = [
             c.c_char_p, c.c_long, c.c_long, c.c_long, c.c_int,
@@ -164,14 +165,19 @@ def prepare_pack(pts: np.ndarray, begin: float, t_end: float,
 
 def decode_xyzt(data: bytes, n: int, step: int, off_x: int, off_y: int,
                 off_z: int, off_t: int, t_dtype: int,
-                time_unit_scale: float) -> np.ndarray:
-    """PointCloud2 payload -> (n, 4) float32 [x, y, z, t_rel_ms]."""
+                time_unit_scale: float, t_base: float = 0.0) -> np.ndarray:
+    """PointCloud2 payload -> (n, 4) float32 [x, y, z, t_rel_ms].
+
+    `t_base` is subtracted from the decoded time in FLOAT64 before the
+    f32 downcast — absolute epoch-scale stamps (robosense f64
+    `timestamp`) quantize to ~0.125 ms if narrowed first (caught by the
+    vendor-decode goldens, tests/test_vendor_golden.py)."""
     lib = get_lib()
     if lib is not None:
         out = np.empty((n, 4), np.float32)
         lib.livo_decode_xyzt(
             data, n, step, off_x, off_y, off_z, off_t, t_dtype,
-            time_unit_scale,
+            time_unit_scale, t_base,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
     buf = np.frombuffer(data, np.uint8).reshape(n, step)
@@ -186,7 +192,7 @@ def decode_xyzt(data: bytes, n: int, step: int, off_x: int, off_y: int,
         t = buf[:, off_t:off_t + 4].copy().view(np.uint32)[:, 0]
     else:
         t = np.zeros(n)
-    out[:, 3] = t * time_unit_scale
+    out[:, 3] = (t - t_base) * time_unit_scale
     return out
 
 
