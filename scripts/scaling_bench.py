@@ -24,7 +24,7 @@ collective model, instead of round-2's emulation-dominated fit:
   (they serialize all shards onto 2 physical cores and collective
   EMULATION dominates — a floor, not an estimate; see round-2 note).
 
-Outputs SCALING_r04.json:
+Outputs SCALING_r05.json:
   * strong scaling: efficiency_strong_n = t_single /
       (n * (t_pershard(n) + comm(n)))  — same workload split n ways.
   * weak scaling:   efficiency_weak_n = t_single /
@@ -197,7 +197,7 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="run the per-shard proxy programs on the real "
                          "TPU chip (skips the virtual-device walls; "
-                         "writes SCALING_r04_tpu.json).  The CPU fit "
+                         "writes SCALING_r05_tpu.json).  The CPU fit "
                          "over-weights sort/gather stages relative to "
                          "the target hardware; this mode measures the "
                          "actual per-shard compute the projection needs.")
@@ -311,6 +311,69 @@ def main():
         print(f"[scaling] real-mesh (8-dev) weak-8 route_overflow/sweep: "
               f"{overflow_real_mesh}", file=sys.stderr)
 
+    # drift guard: re-measure the single-chip baseline after the weak
+    # runs (host speed drifts run-to-run on this 2-core box; round 4's
+    # baseline and weak numbers were minutes apart) and keep the best
+    # of both sessions for BOTH sides of the ratio
+    t_single = min(t_single, time_engine(lambda: LioEngine(cfg), sweeps))
+    for n in (2, 4, 8):
+        cfgw = base_cfg(scale=n)
+        bw = pershard_budgets(cfgw, n)
+        ovw = dict(bw)
+        for k in ("B2", "B3", "B4", "B5", "B6"):
+            ovw[k] = bw[k] * n
+        t_weak[n] = min(t_weak[n], time_engine(
+            lambda ovw=ovw, cfgw=cfgw: ShardedLioEngine(
+                cfgw, mesh1, budget_override=ovw),
+            build_sweeps(cfgw, tile=n)))
+        print(f"[scaling] weak per-shard re-measure (n={n}): "
+              f"{t_weak[n]*1e3:.2f} ms", file=sys.stderr)
+
+    # 3b. per-stage per-shard timings (VERDICT r4 #2/#6 'where each ms
+    #     went'): prefix programs of the weak-8 and strong-8 per-shard
+    #     steps via ShardedLioEngine.make_profile_step (stage diffs of
+    #     jit'd prefixes — no jit boundaries inside the real program).
+    def stage_profile(cfgp, ov, sweeps_p):
+        import jax
+        eng = ShardedLioEngine(cfgp, mesh1, budget_override=ov)
+        st, vmp = eng.init_state(), eng.make_map()
+        for fid, sw_ in enumerate(sweeps_p, start=1):
+            o = eng.step(st, vmp, sw_, fid)
+            st, vmp = o.state, o.voxel_map
+        jax.block_until_ready(st.p)
+        stages = ["deskew", "frame_sub", "kp_sub", "route_q", "iekf",
+                  "ins_route", "ins_gate", "insert", "rep_pack",
+                  "rep_sort", "replay", "out"]
+        sw_ = sweeps_p[-1]
+        times, prev = {}, 0.0
+        for stg in stages:
+            f = eng.make_profile_step(stg)
+            jax.block_until_ready(f(st, vmp, sw_))
+            best = np.inf
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(st, vmp, sw_))
+                best = min(best, time.perf_counter() - t0)
+            times[stg] = round((best - prev) * 1e3, 2)
+            prev = best
+        times["prefix_total_ms"] = round(prev * 1e3, 2)
+        return times
+
+    cfg_w8 = base_cfg(scale=8)
+    bw8 = pershard_budgets(cfg_w8, 8)
+    ovw8 = dict(bw8)
+    for k in ("B2", "B3", "B4", "B5", "B6"):
+        ovw8[k] = bw8[k] * 8
+    stage_weak8 = stage_profile(cfg_w8, ovw8, build_sweeps(cfg_w8, tile=8))
+    b_s8 = pershard_budgets(cfg, 8)
+    ov_s8 = dict(b_s8)
+    for k in ("B2", "B3", "B4", "B5", "B6"):
+        ov_s8[k] = b_s8[k] * 8
+    stage_strong8 = stage_profile(cfg, ov_s8, sweeps)
+    print(f"[scaling] weak-8 stage profile: {stage_weak8}", file=sys.stderr)
+    print(f"[scaling] strong-8 stage profile: {stage_strong8}",
+          file=sys.stderr)
+
     # 4b. SATURATING weak point: per-chip workload large enough that
     #     the step is compute-bound rather than dispatch/latency-bound
     #     (8x base per chip; global workload = 64x at n=8)
@@ -364,6 +427,8 @@ def main():
                            3)},
         "efficiency_strong": {n: round(e, 3) for n, e in eff_strong.items()},
         "efficiency_weak": {n: round(e, 3) for n, e in eff_weak.items()},
+        "stage_profile_weak8_ms": stage_weak8,
+        "stage_profile_strong8_ms": stage_strong8,
         "saturating_weak_8": {
             "per_chip_workload": "8x base (global 64x over 8 chips)",
             "step_ms_single_chip_8x": round(t_single8 * 1e3, 3),
@@ -381,7 +446,7 @@ def main():
                 "walls serialize all shards onto the 2 physical cores "
                 "and are floors, not estimates.",
     }
-    fname = "SCALING_r04_tpu.json" if args.tpu else "SCALING_r04.json"
+    fname = "SCALING_r05_tpu.json" if args.tpu else "SCALING_r05.json"
     with open(os.path.join(ROOT, fname), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
