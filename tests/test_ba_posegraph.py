@@ -282,6 +282,11 @@ def test_backend_loop_feedback_reanchors_filter():
         pass
     pipe = _P()
     pipe.state = st
+    # feedback_rebuild_map (round-5 default) needs the frontend map
+    from sr_livo_tpu.config import LivoConfig
+    pipe.cfg = LivoConfig()
+    pipe.cfg.shapes.map_capacity = 1 << 12
+    pipe.voxel_map = vm.make_map(pipe.cfg.shapes.map_capacity, 20)
     assert be.apply_pose_correction(pipe)
     # the correction moves the live state toward the loop-consistent pose
     err_before = np.linalg.norm(ts[2] - np.array([2.0, 0, 0]))
