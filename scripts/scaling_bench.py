@@ -213,14 +213,14 @@ def main():
     cfg = base_cfg()
     sweeps = build_sweeps(cfg)
 
-    # 1. single-chip baseline
-    t_single = time_engine(lambda: LioEngine(cfg), sweeps)
-    print(f"[scaling] single-chip step: {t_single*1e3:.2f} ms",
-          file=sys.stderr)
-
-    # 2. per-shard programs of n-shard runs, on a 1-device mesh
+    # 1+2+4. single-chip baseline, strong per-shard proxies, and weak
+    # per-shard proxies measured ROUND-ROBIN (3 passes, per-config
+    # min): this 2-core host drifts 20-30% minute-to-minute, and
+    # sequential measurement (round 4/5a) let that drift masquerade as
+    # scaling structure (e.g. a strong n=2 per-shard 'slower' than
+    # n=1).  Interleaving puts every config through the same weather.
     mesh1 = mesh_mod.make_mesh(1)
-    t_pershard = {}
+    runs = {"single": (lambda: LioEngine(cfg), sweeps)}
     for n in (1, 2, 4, 8):
         b = pershard_budgets(cfg, n)
         ov = dict(b)
@@ -228,12 +228,50 @@ def main():
         # to the n-shard received size n*B
         for k in ("B2", "B3", "B4", "B5", "B6"):
             ov[k] = b[k] * n
-        t = time_engine(
+        runs[f"strong{n}"] = (
             lambda ov=ov: ShardedLioEngine(cfg, mesh1, budget_override=ov),
             sweeps)
-        t_pershard[n] = t
-        print(f"[scaling] per-shard program (n={n}): {t*1e3:.2f} ms",
-              file=sys.stderr)
+    for n in (2, 4, 8):
+        cfgw = base_cfg(scale=n)
+        bw = pershard_budgets(cfgw, n)
+        ovw = dict(bw)
+        for k in ("B2", "B3", "B4", "B5", "B6"):
+            ovw[k] = bw[k] * n
+        runs[f"weak{n}"] = (
+            lambda ovw=ovw, cfgw=cfgw: ShardedLioEngine(
+                cfgw, mesh1, budget_override=ovw),
+            build_sweeps(cfgw, tile=n))
+
+    import jax as _jax
+    live = {}
+    for name, (mk, sw) in runs.items():
+        eng = mk()
+        st, vmp = eng.init_state(), eng.make_map()
+        for fid, s_ in enumerate(sw, start=1):
+            o = eng.step(st, vmp, s_, fid)
+            st, vmp = o.state, o.voxel_map
+        _jax.block_until_ready(st.p)
+        live[name] = [eng, st, vmp, sw]
+    best = {name: np.inf for name in runs}
+    for _pass in range(3):
+        for name, slot in live.items():
+            eng, st, vmp, sw = slot
+            t0 = time.perf_counter()
+            for fid, s_ in enumerate(sw, start=1):
+                o = eng.step(st, vmp, s_, fid + len(sw))
+                st, vmp = o.state, o.voxel_map
+            _jax.block_until_ready(st.p)
+            best[name] = min(best[name],
+                             (time.perf_counter() - t0) / len(sw))
+            slot[1], slot[2] = st, vmp
+    del live
+    t_single = best["single"]
+    t_pershard = {n: best[f"strong{n}"] for n in (1, 2, 4, 8)}
+    t_weak = {n: best[f"weak{n}"] for n in (2, 4, 8)}
+    print(f"[scaling] round-robin minima: single {t_single*1e3:.2f} ms; "
+          + "; ".join(f"strong{n} {t_pershard[n]*1e3:.2f}" for n in t_pershard)
+          + "; " + "; ".join(f"weak{n} {t_weak[n]*1e3:.2f}" for n in t_weak),
+          file=sys.stderr)
 
     # 3. replicated remainder: IMU scan + 17x17 solve loop
     import jax.numpy as jnp
@@ -268,21 +306,6 @@ def main():
     jax.block_until_ready(out)
     t_repl = (time.perf_counter() - t0) / 20
 
-    # 4. weak scaling: n x workload, per-shard budgets == 1 x budgets
-    t_weak = {}
-    for n in (2, 4, 8):
-        cfgw = base_cfg(scale=n)
-        bw = pershard_budgets(cfgw, n)
-        ovw = dict(bw)
-        for k in ("B2", "B3", "B4", "B5", "B6"):
-            ovw[k] = bw[k] * n
-        sweeps_w = build_sweeps(cfgw, tile=n)
-        t = time_engine(
-            lambda ovw=ovw, cfgw=cfgw: ShardedLioEngine(
-                cfgw, mesh1, budget_override=ovw), sweeps_w)
-        t_weak[n] = t
-        print(f"[scaling] weak per-shard (n={n}, {n}x workload): "
-              f"{t*1e3:.2f} ms", file=sys.stderr)
 
     # 5. raw virtual-device walls (honest floor, round-2 style;
     #    CPU-only — the TPU has one physical chip) + the REAL-mesh
@@ -310,24 +333,6 @@ def main():
             overflow_real_mesh.append(int(o.route_overflow))
         print(f"[scaling] real-mesh (8-dev) weak-8 route_overflow/sweep: "
               f"{overflow_real_mesh}", file=sys.stderr)
-
-    # drift guard: re-measure the single-chip baseline after the weak
-    # runs (host speed drifts run-to-run on this 2-core box; round 4's
-    # baseline and weak numbers were minutes apart) and keep the best
-    # of both sessions for BOTH sides of the ratio
-    t_single = min(t_single, time_engine(lambda: LioEngine(cfg), sweeps))
-    for n in (2, 4, 8):
-        cfgw = base_cfg(scale=n)
-        bw = pershard_budgets(cfgw, n)
-        ovw = dict(bw)
-        for k in ("B2", "B3", "B4", "B5", "B6"):
-            ovw[k] = bw[k] * n
-        t_weak[n] = min(t_weak[n], time_engine(
-            lambda ovw=ovw, cfgw=cfgw: ShardedLioEngine(
-                cfgw, mesh1, budget_override=ovw),
-            build_sweeps(cfgw, tile=n)))
-        print(f"[scaling] weak per-shard re-measure (n={n}): "
-              f"{t_weak[n]*1e3:.2f} ms", file=sys.stderr)
 
     # 3b. per-stage per-shard timings (VERDICT r4 #2/#6 'where each ms
     #     went'): prefix programs of the weak-8 and strong-8 per-shard
