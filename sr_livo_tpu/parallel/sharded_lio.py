@@ -644,17 +644,23 @@ class ShardedLioEngine:
                 jnp.sum(buf6) + jnp.sum(local_new.counts)
                 .astype(buf6.dtype), MAP_AXIS)
         rcv6, rval6 = routing.exchange(buf6, bval6, MAP_AXIS)
-        # order replay rows by global rank: a small stable argsort over
-        # the replay receive buffer (a few thousand rows) — NOT the hot
-        # dedup path the sort-free redesign removed.  Sorting floats
-        # valid rows to the front, so slicing to C_rep bounds the apply
-        # batch (vm.insert's gate probing is shape-driven); rows beyond
-        # it are dropped and counted.
+        # order replay rows by global rank with the same rank-keyed
+        # table + stable compact as the primary-insert leg (a shard
+        # receives each global frame rank AT MOST once — the sender's
+        # distinct-corner-owner dedup guarantees it), replacing the
+        # round-4 argsort over the receive buffer (~2.4 ms of the
+        # weak-8 per-shard step; XLA CPU sorts are slow and the TPU
+        # dislikes them more).  compact keeps the C_rep lowest ranks —
+        # the same set the sorted slice kept — and counts the rest.
         rf6 = routing.unpack_col_i32(rcv6, 3)
-        order6 = jnp.argsort(jnp.where(rval6, rf6, I32_MAX), stable=True)
-        rep_rows = rcv6[order6][:self.C_rep]
-        rep_val = rval6[order6][:self.C_rep]
-        overflow += (jnp.sum(rval6) - jnp.sum(rep_val)).astype(jnp.int32)
+        oob6 = F + jnp.arange(rcv6.shape[0], dtype=jnp.int32)
+        tgt6 = jnp.where(rval6, jnp.clip(rf6, 0, F - 1), oob6)
+        tbl6 = jnp.zeros((F, rcv6.shape[1]), rcv6.dtype).at[tgt6].set(
+            rcv6, mode="drop", unique_indices=True)
+        tvl6 = jnp.zeros((F,), bool).at[tgt6].set(
+            True, mode="drop", unique_indices=True)
+        rep_rows, rep_val, d = routing.compact(tbl6, tvl6, self.C_rep)
+        overflow += d
         if stop_after == "rep_sort":
             return jax.lax.psum(
                 jnp.sum(jnp.where(rep_val[:, None], rep_rows, 0.0))
